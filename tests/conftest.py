@@ -2,20 +2,32 @@
 
 Multi-chip sharding paths are validated here without TPU hardware (the
 standard JAX trick); the real-chip path is exercised by bench.py.
+
+NOTE: this environment injects a remote-TPU PJRT plugin ("axon") into every
+python process via sitecustomize and pins JAX_PLATFORMS=axon, so the env-var
+route to the CPU backend is ineffective; `jax.config.update` after import
+wins.  Compiles against the remote TPU take ~1 min each over the relay --
+tests must stay on CPU.
 """
 import os
+import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-import pathlib
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
 TESTDATA = pathlib.Path("/root/reference/testdata")
 REPO = pathlib.Path(__file__).resolve().parent.parent
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 
 @pytest.fixture(scope="session")

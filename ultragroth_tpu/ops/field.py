@@ -1,0 +1,299 @@
+"""Batched prime-field arithmetic on 16-bit limb planes (JAX, TPU-first).
+
+Replaces the reference's scalar Montgomery assembly (Fr_rawMMul CIOS loop,
+/root/reference/build/fr_raw_generic.cpp:107-148) with lane-parallel CIOS
+over uint32 limb planes: every op processes an entire batch of field
+elements on the VPU; all carries are exact in uint32 because limbs are
+16-bit.
+
+Layout: [NLIMBS, *batch] uint32 (see ops/limbs.py).  Montgomery radix
+R = 2^256, matching the zkey wire format, so Montgomery-form wire data needs
+no re-encoding.
+
+Graph-size discipline (matters for XLA compile time as much as for TPU
+scheduling): carry chains run as log-depth carry-lookahead via
+`associative_scan`, the CIOS outer loop is a `lax.scan` traced once, and the
+inner products are whole-limb-plane vector ops in a redundant (carry-save)
+accumulator - a mont_mul traces to ~100 XLA ops instead of ~2500 for the
+naive unrolled form.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import FQ_MODULUS, FR_MODULUS
+from .limbs import LIMB_BITS, LIMB_MASK, NLIMBS, int_to_limbs
+
+L = NLIMBS
+MASK = LIMB_MASK
+U32 = jnp.uint32
+
+
+def _carry_chain(gen, prop):
+    """Inclusive carry-lookahead over the leading (limb) axis.
+
+    gen, prop: [L, *batch] uint32 in {0,1}.  Returns carry-in planes
+    c[j] = carry entering limb j (c[0] = 0): the classic (g, p) semigroup
+    scanned in log2(L) levels.
+    """
+    def combine(a, b):
+        ga, pa = a
+        gb, pb = b
+        return (gb | (pb & ga), pb & pa)
+
+    g_inc, _ = jax.lax.associative_scan(combine, (gen, prop), axis=0)
+    zero = jnp.zeros_like(g_inc[:1])
+    return jnp.concatenate([zero, g_inc[:-1]], axis=0)
+
+
+def _add_cla(a, b):
+    """Exact 256-bit add of canonical limb planes; carry-out discarded
+    (callers guarantee a + b < 2^256)."""
+    s = a + b                      # <= 2^17 - 2
+    low = s & MASK
+    gen = s >> LIMB_BITS           # in {0,1}
+    prop = (low == MASK).astype(U32)
+    c = _carry_chain(gen, prop)
+    return (low + c) & MASK
+
+
+def _sub_cla(a, b):
+    """256-bit subtract: returns (diff planes, borrow-out plane in {0,1})."""
+    d = a - b                      # u32 wraparound
+    gen = d >> 31                  # 1 where a_j < b_j
+    low = d & MASK
+    prop = (low == 0).astype(U32)
+    c = _carry_chain(gen, prop)
+    out = (low - c) & MASK
+    # borrow-out = carry chain result at the top limb (inclusive)
+    top = gen[L - 1] | (prop[L - 1] & c[L - 1])
+    return out, top
+
+
+class FieldOps:
+    """Batched modular arithmetic for one prime field.
+
+    All array arguments are uint32 limb planes [L, *batch]; values are kept
+    in [0, p).  Montgomery-domain values (x*R mod p) use the same encoding;
+    the caller tracks which domain an array is in (same discipline as the
+    reference prover, src/groth16.cpp:100-148).
+
+    Public ops are jit-wrapped per (cached, singleton) instance, so eager
+    calls from host code are compiled too; calls inside an enclosing jit
+    inline as usual.
+    """
+
+    def __init__(self, modulus: int, name: str):
+        self.p = modulus
+        self.name = name
+        self.p_limbs = [int(x) for x in int_to_limbs(modulus)]
+        self.p_planes = jnp.asarray(int_to_limbs(modulus), U32).reshape(L, 1)
+        self.ninv = (-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        self.r = (1 << 256) % modulus
+        self.r2 = (self.r * self.r) % modulus
+        self.r_inv = pow(self.r, -1, modulus)
+        # Static MSB-first bit table for Fermat inversion: exponent p - 2.
+        e = modulus - 2
+        self._inv_bits = np.array(
+            [(e >> i) & 1 for i in range(e.bit_length() - 1, -1, -1)],
+            dtype=np.uint32)
+        for f in ("add", "sub", "neg", "half", "mont_mul", "mont_sqr",
+                  "to_mont", "from_mont", "inv_mont", "redc_carry"):
+            setattr(self, f, jax.jit(getattr(self, "_" + f)))
+
+    # -- constants ---------------------------------------------------------
+
+    def const(self, value: int, batch_shape=()):  # standard-domain constant
+        limbs = int_to_limbs(value % self.p)
+        a = jnp.asarray(limbs, dtype=U32).reshape((L,) + (1,) * len(batch_shape))
+        return jnp.broadcast_to(a, (L,) + tuple(batch_shape))
+
+    def zero(self, batch_shape=()):
+        return jnp.zeros((L,) + tuple(batch_shape), dtype=U32)
+
+    def one_mont(self, batch_shape=()):
+        return self.const(self.r, batch_shape)
+
+    def _p_bc(self, batch_shape):
+        """The modulus itself as limb planes (NOT reduced mod p)."""
+        a = self.p_planes.reshape((L,) + (1,) * len(batch_shape))
+        return jnp.broadcast_to(a, (L,) + tuple(batch_shape))
+
+    # -- comparison helpers ------------------------------------------------
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=0)
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=0)
+
+    # -- modular add / sub / neg ------------------------------------------
+
+    def _add(self, a, b):
+        a, b = jnp.broadcast_arrays(a, b)
+        s = _add_cla(a, b)
+        d, borrow = _sub_cla(s, self._p_bc(s.shape[1:]))
+        return jnp.where((borrow == 0)[None], d, s)
+
+    def _sub(self, a, b):
+        a, b = jnp.broadcast_arrays(a, b)
+        d, borrow = _sub_cla(a, b)
+        fixed = _add_cla(d, self._p_bc(d.shape[1:]))
+        return jnp.where((borrow != 0)[None], fixed, d)
+
+    def _neg(self, a):
+        return self._sub(self.zero(a.shape[1:]), a)
+
+    def _half(self, a):
+        """a/2 mod p: add p where odd, then exact shift right."""
+        odd = a[0] & 1
+        padd = _add_cla(a, jnp.where((odd != 0)[None], self._p_bc(a.shape[1:]),
+                                     self.zero(a.shape[1:])))
+        # (a + p) < 2^255 so no lost carry; shift right one bit across limbs
+        hi = jnp.concatenate([padd[1:], jnp.zeros_like(padd[:1])], axis=0)
+        return ((padd >> 1) | ((hi & 1) << (LIMB_BITS - 1))) & MASK
+
+    # -- Montgomery multiplication (CIOS, carry-save) ----------------------
+
+    def _mont_mul(self, a, b):
+        """(a * b * R^-1) mod p, batched redundant-limb CIOS.
+
+        Per outer limb i (a lax.scan step): split the vector products
+        a_i * b and m * p into 16-bit halves and accumulate them carry-save
+        into a redundant accumulator t (limbs grow to at most ~2^22 over 16
+        iterations - far inside uint32).  Only limb 0 is resolved each step
+        (its value mod 2^16 is exact by construction) to form the Montgomery
+        quotient digit m and the exact right-shift carry.  One final
+        ripple-carry scan + conditional subtract canonicalizes.
+
+        Accepts any a < 2^256 when b < p (used by redc_carry), result < p.
+        """
+        batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+
+        def _bcast(x):
+            bx = x.shape[1:]
+            x = x.reshape((L,) + (1,) * (len(batch) - len(bx)) + bx)
+            return jnp.broadcast_to(x, (L,) + batch)
+
+        a, b = _bcast(a), _bcast(b)
+        p = self.p_planes.reshape((L,) + (1,) * len(batch))
+        zrow = jnp.zeros((1,) + batch, U32)
+
+        def body(t, ai):
+            # t: [L+1, batch] redundant; value(t) invariant under carries
+            prod = ai[None] * b                  # [L], exact u32
+            lo = prod & MASK
+            hi = prod >> LIMB_BITS
+            t = t.at[:L].add(lo)
+            t = t.at[1:].add(hi)
+            m = ((t[0] & MASK) * self.ninv) & MASK
+            mp = m[None] * p
+            lo2 = mp & MASK
+            hi2 = mp >> LIMB_BITS
+            t = t.at[:L].add(lo2)
+            t = t.at[1:].add(hi2)
+            carry0 = t[0] >> LIMB_BITS           # t[0] === 0 mod 2^16 now
+            t = jnp.concatenate([t[1:], zrow], axis=0)
+            t = t.at[0].add(carry0)
+            return t, None
+
+        t, _ = jax.lax.scan(body, jnp.zeros((L + 1,) + batch, U32), a)
+
+        # normalize: ripple the redundant limbs (<= ~2^22) exactly
+        def ripple(c, limb):
+            s = limb + c
+            return s >> LIMB_BITS, s & MASK
+
+        top_extra, planes = jax.lax.scan(ripple, jnp.zeros(batch, U32), t)
+        # value < 2p < 2^255: top_extra == 0, planes[L] in {0, 1}
+        lo = planes[:L]
+        d, borrow = _sub_cla(lo, p)
+        use_sub = (planes[L] > 0) | (borrow == 0)
+        return jnp.where(use_sub[None], d, lo)
+
+    def _mont_sqr(self, a):
+        return self._mont_mul(a, a)
+
+    def _to_mont(self, a):
+        return self._mont_mul(a, self.const(self.r2, ()))
+
+    def _from_mont(self, a):
+        return self._mont_mul(a, self.const(1, ()))
+
+    # -- wide reduction (for lazily-accumulated sums) ----------------------
+
+    def _redc_carry(self, wide):
+        """Reduce a lazily-accumulated array mod p.
+
+        `wide`: [L, *batch] uint32 limb planes holding an UN-normalized sum
+        of at most 2^16 canonical elements (each plane <= 2^32 - 2^16, so
+        the ripple carry stays exact in uint32).  Typical producer:
+        `jax.ops.segment_sum` over Montgomery-form values.  Returns
+        canonical planes of value mod p (same domain as the addends).
+        """
+        def ripple(c, limb):
+            s = limb + c
+            return s >> LIMB_BITS, s & MASK
+
+        carry, planes = jax.lax.scan(ripple, jnp.zeros(wide.shape[1:], U32), wide)
+        # value = planes + carry * 2^256, carry < 2^16
+        lo_modp = self._from_mont(self._to_mont(planes))
+        cp = jnp.concatenate([carry[None], jnp.zeros_like(wide[:L - 1])], axis=0)
+        hi = self._to_mont(cp)   # carry * 2^256 mod p (R = 2^256)
+        return self._add(lo_modp, hi)
+
+    # -- inversion / exponentiation ---------------------------------------
+
+    def _inv_mont(self, a):
+        """Batched inverse in the Montgomery domain: inv(xR) = x^-1 R.
+
+        Fermat: a^(p-2) with a scan over static exponent bits.  inv(0) = 0.
+        Replaces the reference's serial mpz_invert path
+        (/root/reference/build/fr.cpp:238-250) with a fully batched chain.
+        """
+        bits = jnp.asarray(self._inv_bits)
+
+        def body(acc, bit):
+            acc = self._mont_sqr(acc)
+            acc = jnp.where(bit != 0, self._mont_mul(acc, a), acc)
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, self.one_mont(a.shape[1:]), bits)
+        return acc
+
+    def pow_const(self, a, e: int):
+        """a^e (Montgomery domain), static exponent, scan form."""
+        if e == 0:
+            return self.one_mont(a.shape[1:])
+        bits = jnp.asarray(np.array(
+            [(e >> i) & 1 for i in range(e.bit_length() - 1, -1, -1)],
+            dtype=np.uint32))
+
+        def body(acc, bit):
+            acc = self._mont_sqr(acc)
+            acc = jnp.where(bit != 0, self._mont_mul(acc, a), acc)
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, self.one_mont(a.shape[1:]), bits)
+        return acc
+
+    # -- batch select ------------------------------------------------------
+
+    @staticmethod
+    def select(cond, a, b):
+        """cond: [*batch] bool; a, b: [L, *batch]."""
+        return jnp.where(cond[None], a, b)
+
+
+@functools.cache
+def fr() -> FieldOps:
+    return FieldOps(FR_MODULUS, "fr")
+
+
+@functools.cache
+def fq() -> FieldOps:
+    return FieldOps(FQ_MODULUS, "fq")

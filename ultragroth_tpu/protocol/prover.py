@@ -1,0 +1,125 @@
+"""TPU-backed Groth16 prover: the device twin of OracleGroth16Prover.
+
+Pipeline parity: Groth16::Prover::prove (/root/reference/src/groth16.cpp:
+48-203) - 4 witness MSMs, sparse coefficient scatter, 3x coset-NTT, H MSM,
+blinding algebra.  All heavy phases run as jitted limb-plane kernels
+(ops/msm.py, ops/ntt.py); the O(1) blinding algebra on the five MSM outputs
+reuses the audited host oracle (protocol/groth16.py:finalize_proof).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..io.fieldenc import u32_view
+from ..ops import limbs as lb
+from ..ops import msm as dmsm
+from ..ops import ntt as dntt
+from ..ops.curve import g1_ops, g2_ops
+from ..ops.field import fr, fq
+from .groth16 import (Proof, decode_g1, decode_g2, finalize_proof,
+                      random_blinding)
+
+
+def g1_section_to_planes(arr: np.ndarray):
+    """zkey G1 section [N, 2, 8] u32 Montgomery words -> (x, y, inf)."""
+    x = lb.words_to_planes(arr[:, 0, :])
+    y = lb.words_to_planes(arr[:, 1, :])
+    inf = (arr[:, 0, :] == 0).all(axis=-1) & (arr[:, 1, :] == 0).all(axis=-1)
+    return x, y, inf
+
+
+def g2_section_to_planes(arr: np.ndarray):
+    """zkey G2 section [N, 4, 8] -> ((x0, x1), (y0, y1), inf)."""
+    planes = [lb.words_to_planes(arr[:, i, :]) for i in range(4)]
+    inf = (arr.reshape(arr.shape[0], -1) == 0).all(axis=-1)
+    return (planes[0], planes[1]), (planes[2], planes[3]), inf
+
+
+def xyzz_to_oracle_g1(pt):
+    """Device xyzz G1 point (leaves [L]) -> oracle affine int pair."""
+    x, y, inf = g1_ops().to_affine(pt)
+    F = fq()
+    xi = lb.planes_to_ints(np.asarray(F.from_mont(x)))[0]
+    yi = lb.planes_to_ints(np.asarray(F.from_mont(y)))[0]
+    return None if bool(np.asarray(inf)) else (xi, yi)
+
+
+def xyzz_to_oracle_g2(pt):
+    x, y, inf = g2_ops().to_affine(pt)
+    F = fq()
+    vals = [lb.planes_to_ints(np.asarray(F.from_mont(c)))[0]
+            for c in (x[0], x[1], y[0], y[1])]
+    return None if bool(np.asarray(inf)) else ((vals[0], vals[1]),
+                                               (vals[2], vals[3]))
+
+
+class JaxGroth16Prover:
+    """Keeps the zkey resident on device; prove() per witness.
+
+    Mirrors the create/prove/destroy amortization contract of the C API
+    (src/prover.cpp:449-579): zkey parse + limb repack + twiddle tables are
+    paid once.
+    """
+
+    def __init__(self, zkey):
+        self.zk = zkey
+        zk = zkey
+        self.log_n = zk.domain_size.bit_length() - 1
+        assert (1 << self.log_n) == zk.domain_size
+        FR = fr()
+
+        self.points_a = g1_section_to_planes(zk.points_a)
+        self.points_b1 = g1_section_to_planes(zk.points_b1)
+        self.points_b2 = g2_section_to_planes(zk.points_b2)
+        self.points_c = g1_section_to_planes(zk.points_c)
+        self.points_h = g1_section_to_planes(zk.points_h)
+        self.coef_val_mont = lb.words_to_planes(zk.coef_val)  # already Mont
+        self.coef_m = np.asarray(zk.coef_m, np.int32)
+        self.coef_c = np.asarray(zk.coef_c, np.int32)
+        self.coef_s = np.asarray(zk.coef_s, np.int32)
+
+        # blinding-term points for the host-side finalization
+        self.alpha1 = decode_g1(zk.alpha1)
+        self.beta1 = decode_g1(zk.beta1)
+        self.beta2 = decode_g2(zk.beta2)
+        self.delta1 = decode_g1(zk.delta1)
+        self.delta2 = decode_g2(zk.delta2)
+
+        self.c_vars = dmsm.default_window(zk.n_vars)
+        self.c_h = dmsm.default_window(zk.domain_size)
+
+    def msm_outputs(self, witness_words: np.ndarray):
+        """The five MSM results as device xyzz points (for tests/bench)."""
+        zk = self.zk
+        w_std = lb.words_to_planes(witness_words)       # standard form
+        FR = fr()
+        w_mont = FR.to_mont(w_std)
+
+        pi_a = dmsm.msm_g1(*self.points_a, w_std, c=self.c_vars)
+        pi_b1 = dmsm.msm_g1(*self.points_b1, w_std, c=self.c_vars)
+        pi_b2 = dmsm.msm_g2(*self.points_b2, w_std, c=self.c_vars)
+        pi_c = dmsm.msm_g1(*self.points_c, w_std[:, zk.n_public + 1:],
+                           c=self.c_vars)
+
+        a, b = dntt.scatter_coefs(w_mont, self.coef_val_mont, self.coef_m,
+                                  self.coef_c, self.coef_s, zk.domain_size)
+        h_std = dntt.quotient_scalars(a, b, self.log_n)
+        pi_h = dmsm.msm_g1(*self.points_h, h_std, c=self.c_h)
+        return pi_a, pi_b1, pi_b2, pi_c, pi_h
+
+    def prove(self, witness_words: np.ndarray, r: int | None = None,
+              s: int | None = None) -> Proof:
+        zk = self.zk
+        if witness_words.shape[0] != zk.n_vars:
+            raise ValueError("Invalid witness length.")
+        r = random_blinding() if r is None else r
+        s = random_blinding() if s is None else s
+        pi_a, pi_b1, pi_b2, pi_c, pi_h = self.msm_outputs(witness_words)
+        return finalize_proof(
+            self,
+            xyzz_to_oracle_g1(pi_a),
+            xyzz_to_oracle_g1(pi_b1),
+            xyzz_to_oracle_g2(pi_b2),
+            xyzz_to_oracle_g1(pi_c),
+            xyzz_to_oracle_g1(pi_h),
+            r, s)
