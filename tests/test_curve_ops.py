@@ -39,7 +39,7 @@ def g2_batch_to_planes(points):
 def g1_affine_from_device(x, y, inf):
     xi = lb.planes_to_ints(np.asarray(FQ.from_mont(x)))
     yi = lb.planes_to_ints(np.asarray(FQ.from_mont(y)))
-    inf = np.asarray(inf)
+    inf = np.atleast_1d(np.asarray(inf))
     return [None if inf[i] else (xi[i], yi[i]) for i in range(len(xi))]
 
 
@@ -48,7 +48,7 @@ def g2_affine_from_device(x, y, inf):
     x1 = lb.planes_to_ints(np.asarray(FQ.from_mont(x[1])))
     y0 = lb.planes_to_ints(np.asarray(FQ.from_mont(y[0])))
     y1 = lb.planes_to_ints(np.asarray(FQ.from_mont(y[1])))
-    inf = np.asarray(inf)
+    inf = np.atleast_1d(np.asarray(inf))
     return [None if inf[i] else ((x0[i], x1[i]), (y0[i], y1[i]))
             for i in range(len(x0))]
 

@@ -82,3 +82,17 @@ def test_proof_json_shape(fixture):
     assert d["protocol"] == "ultragroth"
     back = ug.UltraGrothProof.from_json_dict(d)
     assert back == proof
+
+
+def test_jax_ultragroth_matches_oracle(fixture):
+    from ultragroth_tpu.protocol.prover import JaxUltraGrothProver
+    circ, setup, zk, wt = fixture
+    oracle = ug.OracleUltraGrothProver(zk)
+    expected, w_o = oracle.prove(wt.values, wt, r0=R0, r=RB, s=SB)
+    jp = JaxUltraGrothProver(zk)
+    proof, w_j = jp.prove(wt.values, wt, r0=R0, r=RB, s=SB)
+    assert proof.to_json_dict() == expected.to_json_dict()
+    assert w_j == w_o
+    vk = ug.UltraGrothVerificationKey.from_json_dict(setup.vk_json)
+    publics = ug.public_signals(w_j, zk.n_public, zk.rand_indx)
+    assert ug.verify(proof, publics, vk)

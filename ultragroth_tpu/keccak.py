@@ -53,6 +53,10 @@ def _keccak_f(state):
 
 
 def keccak256(data: bytes) -> bytes:
+    from . import native as _native
+    out = _native.keccak256(data)
+    if out is not None:
+        return out
     rate = 136  # 1088 bits
     state = [[0] * 5 for _ in range(5)]
 

@@ -6,6 +6,12 @@ zz/zzz layout per /root/reference/src/groth16.cpp:400-410), but batched:
 every op maps over [*batch] points kept as limb planes, with branchless
 `where`-selected handling of the special cases (infinity, P == +-Q).
 
+Graph-size discipline: independent field multiplies inside one formula are
+STACKED along the batch axis and issued as a single mont_mul ("mul-many"),
+so a complete unified add lowers to ~7 multiplier instantiations instead of
+~23 - this is what keeps XLA compile times of the MSM graphs sane and gives
+the TPU fewer, wider VPU passes.
+
 Point encodings (pytrees):
   affine batch: (x, y) field elements; infinity is tracked by a separate
                 bool mask [*batch] (zkey encodes it as x == y == 0).
@@ -16,8 +22,15 @@ complete-ified by computing both the add and double paths and selecting.
 """
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
+
 from .field import FieldOps, fq
 from .fq2 import Fq2Ops
+
+
+def _tmap(fn, *ts):
+    return jax.tree_util.tree_map(fn, *ts)
 
 
 class CurveOps:
@@ -35,68 +48,88 @@ class CurveOps:
         """(x, y) Montgomery-form affine + inf mask -> xyzz batch."""
         F = self.F
         batch = self._batch_shape(x)
-        one = self._bc(F.one_mont(batch), batch)
+        one = F.one_mont(batch)
         zz = F.select(inf, F.zero(batch), one)
         return (x, y, zz, zz)
 
     def _batch_shape(self, x):
-        # x is [L, *batch] for Fq or a tuple of such for Fq2
         arr = x[0] if isinstance(x, tuple) else x
         return arr.shape[1:]
-
-    def _bc(self, v, batch):
-        return v
 
     def is_inf(self, p):
         return self.F.is_zero(p[2])
 
+    # -- stacked multiplier ------------------------------------------------
+
+    def _mul_many(self, pairs):
+        """[(a1,b1),...,(ak,bk)] -> [a1*b1, ..., ak*bk] via ONE mont_mul on
+        batch-concatenated operands (all pairs must share a batch shape).
+
+        Inside Pallas kernels (field marked fuse_stacks=False) stacking is
+        pointless (everything is VMEM-resident) and the concat doesn't lower
+        in Mosaic - issue the muls individually there."""
+        k = len(pairs)
+        if k == 1 or not getattr(self.F, "fuse_stacks", True):
+            return [self.F.mont_mul(a, b) for a, b in pairs]
+        flat = self._batch_shape(pairs[0][0]) == ()
+
+        def prep(v):
+            return _tmap(lambda t: t[..., None], v) if flat else v
+
+        a = _tmap(lambda *xs: jnp.concatenate(xs, axis=-1),
+                  *[prep(p[0]) for p in pairs])
+        b = _tmap(lambda *xs: jnp.concatenate(xs, axis=-1),
+                  *[prep(p[1]) for p in pairs])
+        c = self.F.mont_mul(a, b)
+        # split back along the concat axis
+        outs = []
+        n = a[0].shape[-1] // k if isinstance(a, tuple) else a.shape[-1] // k
+        for i in range(k):
+            piece = _tmap(lambda t: t[..., i * n:(i + 1) * n], c)
+            if flat:
+                piece = _tmap(lambda t: t[..., 0], piece)
+            outs.append(piece)
+        return outs
+
     # -- group law ---------------------------------------------------------
 
     def dbl(self, p):
-        """dbl-2008-s-1 (a=0): 6M + 3S.  Handles infinity (ZZ=0 propagates)
-        and the y = 0 two-torsion (not on BN254 G1/G2, but U=0 -> ZZ3=0)."""
+        """dbl-2008-s-1 (a=0), 3 stacked multiplier passes."""
         F = self.F
         x1, y1, zz1, zzz1 = p
         u = F.add(y1, y1)
-        v = F.mont_sqr(u)
-        w = F.mont_mul(u, v)
-        s = F.mont_mul(x1, v)
-        xx = F.mont_sqr(x1)
+        v, xx = self._mul_many([(u, u), (x1, x1)])
         m = F.add(F.add(xx, xx), xx)
-        x3 = F.sub(F.mont_sqr(m), F.add(s, s))
-        y3 = F.sub(F.mont_mul(m, F.sub(s, x3)), F.mont_mul(w, y1))
-        zz3 = F.mont_mul(v, zz1)
-        zzz3 = F.mont_mul(w, zzz1)
+        w, s, mm = self._mul_many([(u, v), (x1, v), (m, m)])
+        x3 = F.sub(mm, F.add(s, s))
+        t1, t2, zz3, zzz3 = self._mul_many(
+            [(m, F.sub(s, x3)), (w, y1), (v, zz1), (w, zzz1)])
+        y3 = F.sub(t1, t2)
         return (x3, y3, zz3, zzz3)
 
     def madd_unified(self, p, qx, qy, q_inf):
-        """Complete mixed add: xyzz P + affine Q -> xyzz.  ~19 muls."""
+        """Complete mixed add: xyzz P + affine Q -> xyzz."""
         F = self.F
         x1, y1, zz1, zzz1 = p
         p_inf = self.is_inf(p)
 
-        u2 = F.mont_mul(qx, zz1)
-        s2 = F.mont_mul(qy, zzz1)
+        u2, s2 = self._mul_many([(qx, zz1), (qy, zzz1)])
         pp_ = F.sub(u2, x1)
         r_ = F.sub(s2, y1)
         same_x = F.is_zero(pp_)
         same_y = F.is_zero(r_)
 
-        pp = F.mont_sqr(pp_)
-        ppp = F.mont_mul(pp_, pp)
-        q_ = F.mont_mul(x1, pp)
-        rr = F.mont_sqr(r_)
+        pp, rr = self._mul_many([(pp_, pp_), (r_, r_)])
+        ppp, q_, zz3 = self._mul_many([(pp_, pp), (x1, pp), (zz1, pp)])
         x3 = F.sub(F.sub(rr, ppp), F.add(q_, q_))
-        y3 = F.sub(F.mont_mul(r_, F.sub(q_, x3)), F.mont_mul(y1, ppp))
-        zz3 = F.mont_mul(zz1, pp)
-        zzz3 = F.mont_mul(zzz1, ppp)
+        t1, t2, zzz3 = self._mul_many(
+            [(r_, F.sub(q_, x3)), (y1, ppp), (zzz1, ppp)])
+        y3 = F.sub(t1, t2)
         added = (x3, y3, zz3, zzz3)
 
         q_xyzz = self.affine_to_xyzz(qx, qy, q_inf)
         doubled = self.dbl(q_xyzz)
 
-        # special-case selection (innermost first):
-        # same point -> doubled; opposite points -> infinity
         batch = self._batch_shape(qx)
         out = self.select(same_x & same_y, doubled, added)
         out = self.select(same_x & ~same_y & ~p_inf & ~q_inf,
@@ -106,30 +139,27 @@ class CurveOps:
         return out
 
     def add_unified(self, p, q):
-        """Complete xyzz + xyzz add: ~23 muls."""
+        """Complete xyzz + xyzz add, 4 stacked passes + unified dbl."""
         F = self.F
         x1, y1, zz1, zzz1 = p
         x2, y2, zz2, zzz2 = q
         p_inf = self.is_inf(p)
         q_inf = self.is_inf(q)
 
-        u1 = F.mont_mul(x1, zz2)
-        u2 = F.mont_mul(x2, zz1)
-        s1 = F.mont_mul(y1, zzz2)
-        s2 = F.mont_mul(y2, zzz1)
+        u1, u2, s1, s2 = self._mul_many(
+            [(x1, zz2), (x2, zz1), (y1, zzz2), (y2, zzz1)])
         pp_ = F.sub(u2, u1)
         r_ = F.sub(s2, s1)
         same_x = F.is_zero(pp_)
         same_y = F.is_zero(r_)
 
-        pp = F.mont_sqr(pp_)
-        ppp = F.mont_mul(pp_, pp)
-        q_ = F.mont_mul(u1, pp)
-        rr = F.mont_sqr(r_)
+        pp, rr, zz_a, zzz_a = self._mul_many(
+            [(pp_, pp_), (r_, r_), (zz1, zz2), (zzz1, zzz2)])
+        ppp, q_, zz3 = self._mul_many([(pp_, pp), (u1, pp), (zz_a, pp)])
         x3 = F.sub(F.sub(rr, ppp), F.add(q_, q_))
-        y3 = F.sub(F.mont_mul(r_, F.sub(q_, x3)), F.mont_mul(s1, ppp))
-        zz3 = F.mont_mul(F.mont_mul(zz1, zz2), pp)
-        zzz3 = F.mont_mul(F.mont_mul(zzz1, zzz2), ppp)
+        t1, t2, zzz3 = self._mul_many(
+            [(r_, F.sub(q_, x3)), (s1, ppp), (zzz_a, ppp)])
+        y3 = F.sub(t1, t2)
         added = (x3, y3, zz3, zzz3)
 
         doubled = self.dbl(p)
@@ -157,7 +187,8 @@ class CurveOps:
         inf = self.is_inf(p)
         izz = F.inv_mont(zz)     # 0 stays 0
         izzz = F.inv_mont(zzz)
-        return (F.mont_mul(x, izz), F.mont_mul(y, izzz), inf)
+        xa, ya = self._mul_many([(x, izz), (y, izzz)])
+        return (xa, ya, inf)
 
 
 def g1_ops() -> CurveOps:

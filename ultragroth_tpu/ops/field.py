@@ -50,9 +50,18 @@ def _carry_chain(gen, prop):
     return jnp.concatenate([zero, g_inc[:-1]], axis=0)
 
 
-def _add_cla(a, b):
+def _add_cla(a, b, unroll: bool = False):
     """Exact 256-bit add of canonical limb planes; carry-out discarded
-    (callers guarantee a + b < 2^256)."""
+    (callers guarantee a + b < 2^256).  unroll=True emits a flat ripple
+    chain (Pallas kernels: associative_scan doesn't lower in Mosaic)."""
+    if unroll:
+        c = jnp.zeros(a.shape[1:], U32)
+        out = []
+        for j in range(L):
+            s = a[j] + b[j] + c
+            out.append(s & MASK)
+            c = s >> LIMB_BITS
+        return jnp.stack(out)
     s = a + b                      # <= 2^17 - 2
     low = s & MASK
     gen = s >> LIMB_BITS           # in {0,1}
@@ -61,8 +70,16 @@ def _add_cla(a, b):
     return (low + c) & MASK
 
 
-def _sub_cla(a, b):
+def _sub_cla(a, b, unroll: bool = False):
     """256-bit subtract: returns (diff planes, borrow-out plane in {0,1})."""
+    if unroll:
+        borrow = jnp.zeros(a.shape[1:], U32)
+        out = []
+        for j in range(L):
+            d = a[j] - b[j] - borrow
+            borrow = d >> 31
+            out.append(d & MASK)
+        return jnp.stack(out), borrow
     d = a - b                      # u32 wraparound
     gen = d >> 31                  # 1 where a_j < b_j
     low = d & MASK
@@ -91,7 +108,7 @@ class FieldOps:
         self.p = modulus
         self.name = name
         self.p_limbs = [int(x) for x in int_to_limbs(modulus)]
-        self.p_planes = jnp.asarray(int_to_limbs(modulus), U32).reshape(L, 1)
+        self.p_planes = np.asarray(int_to_limbs(modulus), np.uint32).reshape(L, 1)
         self.ninv = (-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
         self.r = (1 << 256) % modulus
         self.r2 = (self.r * self.r) % modulus
@@ -108,9 +125,11 @@ class FieldOps:
     # -- constants ---------------------------------------------------------
 
     def const(self, value: int, batch_shape=()):  # standard-domain constant
+        """Built from per-limb SCALAR literals (broadcast adds), never a
+        materialized array - Pallas kernels reject captured array consts."""
         limbs = int_to_limbs(value % self.p)
-        a = jnp.asarray(limbs, dtype=U32).reshape((L,) + (1,) * len(batch_shape))
-        return jnp.broadcast_to(a, (L,) + tuple(batch_shape))
+        z = jnp.zeros(tuple(batch_shape), U32)
+        return jnp.stack([z + int(v) for v in limbs])
 
     def zero(self, batch_shape=()):
         return jnp.zeros((L,) + tuple(batch_shape), dtype=U32)
@@ -120,8 +139,8 @@ class FieldOps:
 
     def _p_bc(self, batch_shape):
         """The modulus itself as limb planes (NOT reduced mod p)."""
-        a = self.p_planes.reshape((L,) + (1,) * len(batch_shape))
-        return jnp.broadcast_to(a, (L,) + tuple(batch_shape))
+        z = jnp.zeros(tuple(batch_shape), U32)
+        return jnp.stack([z + int(v) for v in self.p_limbs])
 
     # -- comparison helpers ------------------------------------------------
 
@@ -133,16 +152,16 @@ class FieldOps:
 
     # -- modular add / sub / neg ------------------------------------------
 
-    def _add(self, a, b):
+    def _add(self, a, b, unroll: bool = False):
         a, b = jnp.broadcast_arrays(a, b)
-        s = _add_cla(a, b)
-        d, borrow = _sub_cla(s, self._p_bc(s.shape[1:]))
+        s = _add_cla(a, b, unroll)
+        d, borrow = _sub_cla(s, self._p_bc(s.shape[1:]), unroll)
         return jnp.where((borrow == 0)[None], d, s)
 
-    def _sub(self, a, b):
+    def _sub(self, a, b, unroll: bool = False):
         a, b = jnp.broadcast_arrays(a, b)
-        d, borrow = _sub_cla(a, b)
-        fixed = _add_cla(d, self._p_bc(d.shape[1:]))
+        d, borrow = _sub_cla(a, b, unroll)
+        fixed = _add_cla(d, self._p_bc(d.shape[1:]), unroll)
         return jnp.where((borrow != 0)[None], fixed, d)
 
     def _neg(self, a):
@@ -159,16 +178,22 @@ class FieldOps:
 
     # -- Montgomery multiplication (CIOS, carry-save) ----------------------
 
-    def _mont_mul(self, a, b):
+    def _mont_mul(self, a, b, unroll: bool = False):
         """(a * b * R^-1) mod p, batched redundant-limb CIOS.
 
-        Per outer limb i (a lax.scan step): split the vector products
-        a_i * b and m * p into 16-bit halves and accumulate them carry-save
-        into a redundant accumulator t (limbs grow to at most ~2^22 over 16
-        iterations - far inside uint32).  Only limb 0 is resolved each step
-        (its value mod 2^16 is exact by construction) to form the Montgomery
-        quotient digit m and the exact right-shift carry.  One final
-        ripple-carry scan + conditional subtract canonicalizes.
+        Per outer limb i: split the vector products a_i * b and m * p into
+        16-bit halves and accumulate them carry-save into a redundant
+        accumulator t (limbs grow to at most ~2^22 over 16 iterations - far
+        inside uint32).  Only limb 0 is resolved each step (its value mod
+        2^16 is exact by construction) to form the Montgomery quotient
+        digit m and the exact right-shift carry.  One final ripple-carry
+        pass + conditional subtract canonicalizes.
+
+        unroll=False runs the outer loop as lax.fori_loop (small graph, the
+        XLA path); unroll=True emits flat straight-line code - required
+        inside Pallas kernels (Mosaic can't lower scan/fori bodies with
+        per-step array slicing) and optimal there since everything lives in
+        VMEM.
 
         Accepts any a < 2^256 when b < p (used by redc_carry), result < p.
         """
@@ -180,10 +205,10 @@ class FieldOps:
             return jnp.broadcast_to(x, (L,) + batch)
 
         a, b = _bcast(a), _bcast(b)
-        p = self.p_planes.reshape((L,) + (1,) * len(batch))
+        pl = self.p_limbs
         zrow = jnp.zeros((1,) + batch, U32)
 
-        def body(t, ai):
+        def step(ai, t):
             # t: [L+1, batch] redundant; value(t) invariant under carries
             prod = ai[None] * b                  # [L], exact u32
             lo = prod & MASK
@@ -191,7 +216,7 @@ class FieldOps:
             t = t.at[:L].add(lo)
             t = t.at[1:].add(hi)
             m = ((t[0] & MASK) * self.ninv) & MASK
-            mp = m[None] * p
+            mp = jnp.stack([m * int(pj) for pj in pl])
             lo2 = mp & MASK
             hi2 = mp >> LIMB_BITS
             t = t.at[:L].add(lo2)
@@ -199,19 +224,52 @@ class FieldOps:
             carry0 = t[0] >> LIMB_BITS           # t[0] === 0 mod 2^16 now
             t = jnp.concatenate([t[1:], zrow], axis=0)
             t = t.at[0].add(carry0)
-            return t, None
+            return t
 
-        t, _ = jax.lax.scan(body, jnp.zeros((L + 1,) + batch, U32), a)
+        t0 = jnp.zeros((L + 1,) + batch, U32)
+        if unroll:
+            # flat straight-line form (lists of planes, no scatter/scan -
+            # the only constructs Mosaic lowers inside kernels)
+            zero = jnp.zeros(batch, U32)
+            bl = [b[j] for j in range(L)]
+            t = [zero] * (L + 1)
+            for i in range(L):
+                ai = a[i]
+                for j in range(L):
+                    pj = ai * bl[j]
+                    t[j] = t[j] + (pj & MASK)
+                    t[j + 1] = t[j + 1] + (pj >> LIMB_BITS)
+                m = ((t[0] & MASK) * self.ninv) & MASK
+                for j in range(L):
+                    mp = m * int(pl[j])
+                    t[j] = t[j] + (mp & MASK)
+                    t[j + 1] = t[j + 1] + (mp >> LIMB_BITS)
+                carry0 = t[0] >> LIMB_BITS
+                t = t[1:] + [zero]
+                t[0] = t[0] + carry0
+            c = zero
+            planes = []
+            for j in range(L + 1):
+                s = t[j] + c
+                planes.append(s & MASK)
+                c = s >> LIMB_BITS
+            planes = jnp.stack(planes)
+        else:
+            t = jax.lax.fori_loop(
+                0, L,
+                lambda i, t: step(jax.lax.dynamic_index_in_dim(
+                    a, i, 0, keepdims=False), t),
+                t0)
 
-        # normalize: ripple the redundant limbs (<= ~2^22) exactly
-        def ripple(c, limb):
-            s = limb + c
-            return s >> LIMB_BITS, s & MASK
+            def ripple(c, limb):
+                s = limb + c
+                return s >> LIMB_BITS, s & MASK
 
-        top_extra, planes = jax.lax.scan(ripple, jnp.zeros(batch, U32), t)
-        # value < 2p < 2^255: top_extra == 0, planes[L] in {0, 1}
+            _, planes = jax.lax.scan(ripple, jnp.zeros(batch, U32), t)
+
+        # value < 2p < 2^255: planes[L] in {0, 1}
         lo = planes[:L]
-        d, borrow = _sub_cla(lo, p)
+        d, borrow = _sub_cla(lo, self._p_bc(batch), unroll)
         use_sub = (planes[L] > 0) | (borrow == 0)
         return jnp.where(use_sub[None], d, lo)
 
@@ -287,6 +345,60 @@ class FieldOps:
     def select(cond, a, b):
         """cond: [*batch] bool; a, b: [L, *batch]."""
         return jnp.where(cond[None], a, b)
+
+    def kernel_view(self) -> "_KernelFieldView":
+        """Facade for use INSIDE Pallas kernels: un-jitted entry points and
+        flat (unrolled) mont_mul, no scan/fori constructs."""
+        return _KernelFieldView(self)
+
+
+class _KernelFieldView:
+    fuse_stacks = False  # see CurveOps._mul_many
+
+    def __init__(self, F: FieldOps):
+        self._F = F
+        self.p = F.p
+
+    def mont_mul(self, a, b):
+        return self._F._mont_mul(a, b, unroll=True)
+
+    def mont_sqr(self, a):
+        return self._F._mont_mul(a, a, unroll=True)
+
+    def add(self, a, b):
+        return self._F._add(a, b, unroll=True)
+
+    def sub(self, a, b):
+        return self._F._sub(a, b, unroll=True)
+
+    def neg(self, a):
+        return self._F._sub(self._F.zero(a.shape[1:]), a, unroll=True)
+
+    def half(self, a):
+        return self._F._half(a)
+
+    def is_zero(self, a):
+        return self._F.is_zero(a)
+
+    def eq(self, a, b):
+        return self._F.eq(a, b)
+
+    def inv_mont(self, a):
+        # rolled Fermat chain - only reachable OUTSIDE kernels (to_affine)
+        return self._F._inv_mont(a)
+
+    def zero(self, batch_shape=()):
+        return self._F.zero(batch_shape)
+
+    def one_mont(self, batch_shape=()):
+        return self._F.one_mont(batch_shape)
+
+    def const(self, value, batch_shape=()):
+        return self._F.const(value, batch_shape)
+
+    @staticmethod
+    def select(cond, a, b):
+        return FieldOps.select(cond, a, b)
 
 
 @functools.cache

@@ -15,6 +15,7 @@ from .field import FieldOps, fq
 class Fq2Ops:
     def __init__(self, base: FieldOps | None = None):
         self.fq = base or fq()
+        self.fuse_stacks = getattr(self.fq, "fuse_stacks", True)
 
     def zero(self, batch_shape=()):
         z = self.fq.zero(batch_shape)

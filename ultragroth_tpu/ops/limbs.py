@@ -59,8 +59,15 @@ def words_to_planes(words: np.ndarray) -> np.ndarray:
     """Wire encoding [..., 8] u32 (32-bit words) -> [NLIMBS, ...] limb planes.
 
     Pure bit-shuffle: limb[2i] = lo16(word[i]), limb[2i+1] = hi16(word[i]).
+    Large 2-D inputs take the threaded native path when built
+    (native/ultragroth_io.cpp: ug_words_to_planes).
     """
     words = np.asarray(words, dtype=np.uint32)
+    if words.ndim == 2 and words.shape[-1] * 2 == NLIMBS and words.shape[0] >= (1 << 14):
+        from .. import native as _native
+        out = _native.words_to_planes(words)
+        if out is not None:
+            return out
     lo = words & np.uint32(0xFFFF)
     hi = words >> np.uint32(16)
     inter = np.stack([lo, hi], axis=-1).reshape(*words.shape[:-1], NLIMBS)

@@ -7,17 +7,20 @@ mutex-striped buckets; here everything is data-parallel and scatter-free:
 
   1. window digits  - scalars are 16-bit limb planes, so a 16-bit window's
                       digits ARE one limb plane (other widths: shift/mask);
-  2. bucket accumulation - sort point indices by digit, then a segmented
-                      Hillis-Steele scan whose combine is the batched
-                      complete XYZZ add; runs log2(max bucket size) rounds
-                      (lax.while_loop), each a full-width VPU pass;
-  3. bucket reduction - suffix sums + total, each a roll-based
-                      Hillis-Steele pass: sum_b b*B_b;
+  2. bucket accumulation - ALL-BUCKETS-PARALLEL: sort point order by digit
+                      once (argsort + bincount/cumsum for bucket offsets),
+                      then while t < max_bucket_size: every bucket b adds
+                      its t-th point via ONE fused complete-madd kernel of
+                      width 2^c.  Work is O(N * imbalance-slack) adds - not
+                      the O(N log N) of a segmented scan - and each step is
+                      a full-width VPU pass;
+  3. bucket reduction - suffix sums + total, roll-based Hillis-Steele with
+                      the fused add-where kernel: sum_b b*B_b;
   4. window combine - Horner with c doublings per window (lax.scan).
 
-Every loop is traced ONCE (lax.scan / lax.while_loop / fori_loop) - the
-whole MSM lowers to a compact graph regardless of size, which keeps both
-XLA compile time and TPU scheduling sane.
+Every loop is traced ONCE (lax.scan / lax.while_loop) and every combine is
+a single fused Pallas kernel on TPU (ops/kernels.py), so both compile time
+and HBM traffic stay sane.
 
 Scalars are STANDARD form (wtns convention); points are Montgomery-form
 affine planes (zkey convention) - same domain split as the reference.
@@ -30,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from .curve import CurveOps, g1_ops, g2_ops
+from . import kernels
 from .limbs import LIMB_BITS, NLIMBS
 
 L = NLIMBS
@@ -52,49 +56,40 @@ def _window_digits(scalars, w: int, c: int):
     return d & jnp.uint32((1 << c) - 1)
 
 
-def _segmented_scan(ops: CurveOps, acc, seg):
-    """Inclusive segmented scan: acc[i] = sum of the same-segment run ending
-    at i.  Hillis-Steele with offset doubling; stops once the offset exceeds
-    the longest bucket run (data-dependent trip count, static shapes)."""
-    n = seg.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), seg[1:] != seg[:-1]])
-    run_start = jax.lax.associative_scan(jnp.maximum,
-                                         jnp.where(is_start, idx, -1))
-    max_run = jnp.max(idx - run_start) + 1
+def _bucket_accumulate(ops: CurveOps, madd, x, y, inf, digits,
+                       n_buckets: int):
+    """One fused madd per "row": bucket b accumulates its t-th point.
 
-    def cond(state):
-        return state[0] < max_run
+    Returns the [n_buckets] xyzz bucket sums (bucket 0 = garbage, unused).
+    """
+    n = digits.shape[0]
+    order = jnp.argsort(digits).astype(jnp.int32)
+    counts = jnp.bincount(digits.astype(jnp.int32), length=n_buckets)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
+    max_count = jnp.max(counts)
 
-    def body(state):
-        offset, acc = state
-        shifted = _tree_map(lambda a: jnp.roll(a, offset, axis=-1), acc)
-        ok = (idx >= offset) & (seg == jnp.roll(seg, offset))
-        acc = ops.select(ok, ops.add_unified(acc, shifted), acc)
-        return (offset * 2, acc)
+    acc0 = ops.inf_xyzz((n_buckets,))
 
-    _, acc = jax.lax.while_loop(cond, body, (jnp.int32(1), acc))
+    def cond(st):
+        return st[0] < max_count
+
+    def body(st):
+        t, acc = st
+        pos = offsets + t
+        valid = t < counts
+        pidx = order[jnp.where(valid, pos, 0)]
+        gx = _tree_map(lambda a: a[..., pidx], x)
+        gy = _tree_map(lambda a: a[..., pidx], y)
+        ginf = inf[pidx] | ~valid
+        return (t + 1, madd(acc, gx, gy, ginf))
+
+    _, acc = jax.lax.while_loop(cond, body, (jnp.zeros((), counts.dtype),
+                                             acc0))
     return acc
 
 
-def _bucket_sums(ops: CurveOps, acc, seg, n_buckets: int):
-    """Scatter per-segment totals (at run ends) into a bucket-indexed array.
-
-    Non-end rows are dumped into bucket 0, which Pippenger ignores anyway
-    (digit 0 contributes nothing); empty buckets read as infinity."""
-    is_end = jnp.concatenate([seg[:-1] != seg[1:], jnp.ones((1,), jnp.bool_)])
-    tgt = jnp.where(is_end, seg, 0).astype(jnp.int32)
-
-    def scatter(leaf):
-        buckets = jnp.zeros(leaf.shape[:-1] + (n_buckets,), leaf.dtype)
-        return buckets.at[..., tgt].set(leaf, mode="drop")
-
-    buckets = _tree_map(scatter, acc)
-    present = jnp.zeros((n_buckets,), jnp.bool_).at[tgt].set(is_end)
-    return ops.select(present, buckets, ops.inf_xyzz((n_buckets,)))
-
-
-def _hs_suffix(ops: CurveOps, pts, m: int):
+def _hs_suffix(ops: CurveOps, add_where, pts, m: int):
     """suffix[i] = sum_{j >= i} pts[j] via Hillis-Steele (roll + mask)."""
     idx = jnp.arange(m, dtype=jnp.int32)
 
@@ -105,37 +100,33 @@ def _hs_suffix(ops: CurveOps, pts, m: int):
         k, s = state
         shifted = _tree_map(lambda t: jnp.roll(t, -k, axis=-1), s)
         ok = (idx + k) < m
-        s = ops.select(ok, ops.add_unified(s, shifted), s)
-        return (k * 2, s)
+        return (k * 2, add_where(s, shifted, ok))
 
     _, s = jax.lax.while_loop(cond, body, (jnp.int32(1), pts))
     return s
 
 
-def _weighted_bucket_total(ops: CurveOps, buckets, n_buckets: int):
+def _weighted_bucket_total(ops, add_where, buckets, n_buckets: int):
     """sum_{b>=1} b * B_b = sum of the suffix sums over b = 1..B-1."""
     m = n_buckets - 1
     body = _tree_map(lambda t: t[..., 1:], buckets)
-    suffix = _hs_suffix(ops, body, m)
-    totals = _hs_suffix(ops, suffix, m)     # totals[0] = sum_i suffix[i]
+    suffix = _hs_suffix(ops, add_where, body, m)
+    totals = _hs_suffix(ops, add_where, suffix, m)   # totals[0] = sum_i
     return _tree_map(lambda t: t[..., 0], totals)
 
 
-def _msm(ops: CurveOps, x, y, inf, scalars, c: int, n_windows: int):
+def _msm(ops: CurveOps, group: str, x, y, inf, scalars, c: int,
+         n_windows: int):
     n_buckets = 1 << c
+    madd = kernels.curve_madd_valid(group)
+    add_where = kernels.curve_add_where(group)
     digits_all = jnp.stack([_window_digits(scalars, w, c)
                             for w in range(n_windows)])     # [W, N]
 
     def window_body(_, digits):
-        perm = jnp.argsort(digits)
-        seg = digits[perm]
-        gx = _tree_map(lambda a: a[:, perm], x)
-        gy = _tree_map(lambda a: a[:, perm], y)
-        ginf = inf[perm] | (seg == 0)
-        acc = ops.affine_to_xyzz(gx, gy, ginf)
-        acc = _segmented_scan(ops, acc, seg)
-        buckets = _bucket_sums(ops, acc, seg, n_buckets)
-        return None, _weighted_bucket_total(ops, buckets, n_buckets)
+        buckets = _bucket_accumulate(ops, madd, x, y, inf, digits, n_buckets)
+        return None, _weighted_bucket_total(ops, add_where, buckets,
+                                            n_buckets)
 
     _, wsums = jax.lax.scan(window_body, None, digits_all)  # leaves [W, L]
 
@@ -150,25 +141,54 @@ def _msm(ops: CurveOps, x, y, inf, scalars, c: int, n_windows: int):
 
 
 def default_window(n: int) -> int:
-    """Pippenger window size: balances bucket-phase vs reduction cost."""
-    if n >= (1 << 18):
+    """Pippenger window size: balances bucket-phase slack (small buckets)
+    against reduction cost (many buckets)."""
+    if n >= (1 << 22):
         return 16
+    if n >= (1 << 16):
+        return 13
     if n >= (1 << 12):
-        return 12
+        return 10
     return 8
 
 
+def _pad_pow2(x, y, inf, scalars):
+    """Pad N up to the next power of two (>= 64) with infinity points and
+    zero scalars, so all same-curve MSMs of one circuit share a single
+    compiled graph (compile cost amortization + clean TPU tiling)."""
+    n = inf.shape[0]
+    size = max(64, 1 << (n - 1).bit_length())
+    if size == n:
+        return x, y, inf, scalars
+    pad = size - n
+
+    def padp(a):
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+
+    x = _tree_map(padp, x)
+    y = _tree_map(padp, y)
+    scalars = padp(jnp.asarray(scalars))
+    inf = jnp.pad(jnp.asarray(inf), (0, pad), constant_values=True)
+    return x, y, inf, scalars
+
+
 @functools.partial(jax.jit, static_argnames=("c",))
+def _msm_g1_padded(x, y, inf, scalars, c: int):
+    return _msm(g1_ops(), "g1", x, y, inf, scalars, c, -(-256 // c))
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _msm_g2_padded(x, y, inf, scalars, c: int):
+    return _msm(g2_ops(), "g2", x, y, inf, scalars, c, -(-256 // c))
+
+
 def msm_g1(x, y, inf, scalars, c: int = 16):
     """G1 MSM.  x, y: [L, N] Montgomery Fq planes; inf: [N] bool;
     scalars: [L, N] standard-form Fr planes.  Returns a single xyzz point
     (leaves shaped [L]); normalize with g1_ops().to_affine."""
-    n_windows = -(-256 // c)
-    return _msm(g1_ops(), x, y, inf, scalars, c, n_windows)
+    return _msm_g1_padded(*_pad_pow2(x, y, inf, scalars), c=c)
 
 
-@functools.partial(jax.jit, static_argnames=("c",))
 def msm_g2(x, y, inf, scalars, c: int = 16):
     """G2 MSM: x, y are (c0, c1) tuples of [L, N] planes."""
-    n_windows = -(-256 // c)
-    return _msm(g2_ops(), x, y, inf, scalars, c, n_windows)
+    return _msm_g2_padded(*_pad_pow2(x, y, inf, scalars), c=c)

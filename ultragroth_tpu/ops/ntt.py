@@ -25,6 +25,7 @@ import numpy as np
 from ..constants import FR_MODULUS, MONT_R
 from ..protocol.transcript import root_of_unity
 from ..protocol.quotient import H_SCALE
+from . import kernels
 from .field import fr
 from .limbs import NLIMBS, int_to_limbs
 
@@ -64,16 +65,18 @@ def _stage_twiddles(log_n: int, inverse: bool):
     if inverse:
         w = pow(w, -1, FR_MODULUS)
     out = []
-    for s in range(1, log_n + 1):
-        ws = pow(w, 1 << (log_n - s), FR_MODULUS)
-        out.append(_powers(F, ws, 1 << (s - 1)))
+    with jax.ensure_compile_time_eval():
+        for s in range(1, log_n + 1):
+            ws = pow(w, 1 << (log_n - s), FR_MODULUS)
+            out.append(_powers(F, ws, 1 << (s - 1)))
     return out
 
 
 @functools.lru_cache(maxsize=None)
 def _n_inv_mont(log_n: int):
     F = fr()
-    return F.to_mont(F.const(pow(1 << log_n, -1, FR_MODULUS), ()))
+    with jax.ensure_compile_time_eval():
+        return F.to_mont(F.const(pow(1 << log_n, -1, FR_MODULUS), ()))
 
 
 @functools.partial(jax.jit, static_argnames=("log_n", "inverse"))
@@ -88,15 +91,20 @@ def ntt(a, log_n: int, inverse: bool = False):
     assert a.shape == (L, n), a.shape
     a = a[:, _bitrev_perm(log_n)]
     tw = _stage_twiddles(log_n, inverse)
+    butterfly = kernels.fr_butterfly()
     for s in range(1, log_n + 1):
         half = 1 << (s - 1)
         blocks = n >> s
         v = a.reshape(L, blocks, 2, half)
-        u, w_in = v[:, :, 0, :], v[:, :, 1, :]
-        t = F.mont_mul(w_in, tw[s - 1][:, None, :])
-        a = jnp.stack([F.add(u, t), F.sub(u, t)], axis=2).reshape(L, n)
+        u = v[:, :, 0, :].reshape(L, n // 2)
+        w_in = v[:, :, 1, :].reshape(L, n // 2)
+        twf = jnp.broadcast_to(tw[s - 1][:, None, :],
+                               (L, blocks, half)).reshape(L, n // 2)
+        hi, lo = butterfly(u, w_in, twf)
+        a = jnp.stack([hi.reshape(L, blocks, half),
+                       lo.reshape(L, blocks, half)], axis=2).reshape(L, n)
     if inverse:
-        a = F.mont_mul(a, _n_inv_mont(log_n))
+        a = kernels.fr_mont_mul()(a, _n_inv_mont(log_n)[:, None] + jnp.zeros_like(a))
     return a
 
 
@@ -104,7 +112,8 @@ def ntt(a, log_n: int, inverse: bool = False):
 def _coset_powers(log_n: int):
     """w_{2n}^i for i < n: the odd-coset shift of src/groth16.cpp:116-132."""
     F = fr()
-    return _powers(F, root_of_unity(log_n + 1), 1 << log_n)
+    with jax.ensure_compile_time_eval():
+        return _powers(F, root_of_unity(log_n + 1), 1 << log_n)
 
 
 @functools.lru_cache(maxsize=None)
@@ -113,14 +122,15 @@ def _h_scale_std(log_n: int):
     applies the R^-2 wire-format scale and leaves standard form (see
     ultragroth_tpu.protocol.quotient.H_SCALE derivation)."""
     F = fr()
-    return F.const(H_SCALE, ())
+    with jax.ensure_compile_time_eval():
+        return F.const(H_SCALE, ())
 
 
 def to_odd_coset(vals, log_n: int):
     """ifft -> pointwise w_{2n}^i -> fft (all Montgomery domain)."""
     F = fr()
     coeffs = ntt(vals, log_n, inverse=True)
-    shifted = F.mont_mul(coeffs, _coset_powers(log_n))
+    shifted = kernels.fr_mont_mul()(coeffs, _coset_powers(log_n))
     return ntt(shifted, log_n)
 
 
@@ -161,9 +171,10 @@ def quotient_scalars(a, b, log_n: int):
     into the final multiply.
     """
     F = fr()
-    c = F.mont_mul(a, b)
+    mul = kernels.fr_mont_mul()
+    c = mul(a, b)
     a2 = to_odd_coset(a, log_n)
     b2 = to_odd_coset(b, log_n)
     c2 = to_odd_coset(c, log_n)
-    h = F.sub(F.mont_mul(a2, b2), c2)
-    return F.mont_mul(h, _h_scale_std(log_n))
+    h = F.sub(mul(a2, b2), c2)
+    return mul(h, _h_scale_std(log_n)[:, None] + jnp.zeros_like(h))

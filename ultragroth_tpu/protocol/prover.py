@@ -8,6 +8,7 @@ reuses the audited host oracle (protocol/groth16.py:finalize_proof).
 """
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..io.fieldenc import u32_view
@@ -123,3 +124,120 @@ class JaxGroth16Prover:
             xyzz_to_oracle_g1(pi_c),
             xyzz_to_oracle_g1(pi_h),
             r, s)
+
+
+class JaxUltraGrothProver:
+    """Device twin of OracleUltraGrothProver (2-round lookup prover).
+
+    Heavy phases (5 MSMs + quotient NTTs + batched lookup inversion) run on
+    device; the Fiat-Shamir keccak and O(1) blinding algebra stay on host,
+    mirroring the reference's structure (src/ultra_groth.cpp:401-462).  The
+    serial per-entry inversion loop of the reference (:72-79) becomes one
+    batched Fermat inversion chain.
+    """
+
+    def __init__(self, zkey):
+        from .ultragroth import derive_challenge, finalize_ultragroth
+        from .groth16 import random_blinding
+        self.zk = zkey
+        zk = zkey
+        self.log_n = zk.domain_size.bit_length() - 1
+        assert (1 << self.log_n) == zk.domain_size
+
+        self.points_a = g1_section_to_planes(zk.points_a)
+        self.points_b1 = g1_section_to_planes(zk.points_b1)
+        self.points_b2 = g2_section_to_planes(zk.points_b2)
+        self.round_points_c = g1_section_to_planes(zk.round_points_c)
+        self.final_points_c = g1_section_to_planes(zk.final_points_c)
+        self.points_h = g1_section_to_planes(zk.points_h)
+        self.coef_val_mont = lb.words_to_planes(zk.coef_val)
+        self.coef_m = np.asarray(zk.coef_m, np.int32)
+        self.coef_c = np.asarray(zk.coef_c, np.int32)
+        self.coef_s = np.asarray(zk.coef_s, np.int32)
+        self.round_indexes = np.asarray(zk.round_indexes, np.int32)
+        self.final_indexes = np.asarray(zk.final_indexes, np.int32)
+
+        self.alpha1 = decode_g1(zk.alpha1)
+        self.beta1 = decode_g1(zk.beta1)
+        self.beta2 = decode_g2(zk.beta2)
+        self.round_delta1 = decode_g1(zk.round_delta1)
+        self.final_delta1 = decode_g1(zk.final_delta1)
+        self.final_delta2 = decode_g2(zk.final_delta2)
+
+        self.c_vars = dmsm.default_window(zk.n_vars)
+        self.c_h = dmsm.default_window(zk.domain_size)
+
+    @staticmethod
+    def _lookup_scatter(w_std, chunks, freqs, wtns_indxs, push_indxs,
+                        rand: int):
+        """Batched compute_lookup (parity: src/ultra_groth.cpp:61-106)."""
+        import jax.numpy as jnp
+        from ..constants import FR_MODULUS as R
+        FR = fr()
+        T = len(freqs)
+        table = [(i + rand) % R for i in range(T)]
+        tm = FR.to_mont(lb.ints_to_planes(table))
+        inv2_m = FR.inv_mont(tm)                       # Montgomery domain
+        freqs_m = FR.to_mont(lb.ints_to_planes([int(f) for f in freqs]))
+        prod_std = FR.from_mont(FR.mont_mul(freqs_m, inv2_m))
+        # mont_mul(mont, mont) -> mont; one more from_mont each
+        inv2_std = FR.from_mont(inv2_m)
+        inv1_std = inv2_std[:, np.asarray(chunks, np.int32)]
+        rand_planes = lb.ints_to_planes([rand])
+        push = jnp.concatenate(
+            [jnp.asarray(rand_planes), inv1_std, inv2_std, prod_std], axis=1)
+        vals = push[:, np.asarray(push_indxs, np.int32)]
+        return jnp.asarray(w_std).at[:, np.asarray(wtns_indxs, np.int32)].set(vals)
+
+    def prove(self, witness_words: np.ndarray, lookup, r0=None, r=None,
+              s=None):
+        from .groth16 import random_blinding
+        from .ultragroth import derive_challenge, finalize_ultragroth
+        from ..oracle import curve as oc
+        zk = self.zk
+        if witness_words.shape[0] != zk.n_vars:
+            raise ValueError("Invalid witness length.")
+        r0 = random_blinding() if r0 is None else r0
+        r = random_blinding() if r is None else r
+        s = random_blinding() if s is None else s
+
+        w_std = jnp.asarray(lb.words_to_planes(witness_words))
+
+        # round 0: commitment over the challenge-independent slice
+        d_dev = dmsm.msm_g1(*self.round_points_c,
+                            w_std[:, self.round_indexes],
+                            c=dmsm.default_window(len(self.round_indexes)))
+        d = xyzz_to_oracle_g1(d_dev)
+        d = oc.g1_add(d, oc.g1_mul(self.final_delta1, r0))
+        rand = derive_challenge(d)
+
+        w_std = self._lookup_scatter(w_std, lookup.chunks, lookup.frequencies,
+                                     lookup.wtns_indxs, lookup.push_indxs,
+                                     rand)
+        FR = fr()
+        w_mont = FR.to_mont(w_std)
+
+        pi_a = dmsm.msm_g1(*self.points_a, w_std, c=self.c_vars)
+        pi_b1 = dmsm.msm_g1(*self.points_b1, w_std, c=self.c_vars)
+        pi_b2 = dmsm.msm_g2(*self.points_b2, w_std, c=self.c_vars)
+        pi_c = dmsm.msm_g1(*self.final_points_c,
+                           w_std[:, self.final_indexes],
+                           c=dmsm.default_window(len(self.final_indexes)))
+
+        a, b = dntt.scatter_coefs(w_mont, self.coef_val_mont, self.coef_m,
+                                  self.coef_c, self.coef_s, zk.domain_size)
+        h_std = dntt.quotient_scalars(a, b, self.log_n)
+        pi_h = dmsm.msm_g1(*self.points_h, h_std, c=self.c_h)
+
+        proof = finalize_ultragroth(
+            self,
+            xyzz_to_oracle_g1(pi_a),
+            xyzz_to_oracle_g1(pi_b1),
+            xyzz_to_oracle_g2(pi_b2),
+            xyzz_to_oracle_g1(pi_c),
+            xyzz_to_oracle_g1(pi_h),
+            d, r0, r, s)
+        # return final witness values for public-signal extraction
+        from ..ops import limbs as _lb
+        w_final = _lb.planes_to_ints(np.asarray(w_std))
+        return proof, w_final

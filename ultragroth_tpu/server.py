@@ -1,0 +1,212 @@
+"""HTTP proof server: twin of the reference proverServer.
+
+Route/status parity with /root/reference/src/main_proofserver.cpp:36-40 and
+src/fullprover.{hpp,cpp}:
+  GET  /status           -> {"status": ...} (+proof/pubData on success,
+                            +error on failure)   (fullprover.cpp:216-240)
+  POST /start, /stop     -> 200 (no-ops)         (proverapi.cpp:28-34)
+  POST /input/:circuit   -> start a prove; a new request preempts a busy
+                            prover (pending slot + abort, fullprover.cpp:
+                            69-101)
+  POST /cancel           -> abort in-flight      (fullprover.cpp:204-213)
+  GET/POST /config       -> 200 (no-ops)
+
+Status machine: ready | busy | success | failed | aborted
+(fullprover.hpp:15).
+
+Witness generation parity: the reference popen()s a circom-compiled binary
+`./build/<circuit> input.json out.wtns` (fullprover.cpp:109-135).  Here the
+witness generator command template is configurable (--witgen); when a
+circuit's .wtns is posted directly (Content-Type application/octet-stream),
+the subprocess step is skipped - useful for tests and for clients that
+already run the circom runtime themselves.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import subprocess
+import sys
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .api import Groth16Prover, UltraGrothProver, ProverError
+
+
+class FullProver:
+    """Preloads one prover per zkey; runs one prove at a time on a worker
+    thread with a single pending slot (latest request wins)."""
+
+    def __init__(self, zkey_paths, witgen: str | None = None,
+                 backend: str = "jax"):
+        self.provers = {}
+        for path in zkey_paths:
+            path = pathlib.Path(path)
+            name = path.stem.removesuffix(".zkey")
+            try:
+                self.provers[name] = UltraGrothProver.from_file(path, backend)
+            except Exception:
+                self.provers[name] = Groth16Prover.from_file(path, backend)
+        self.witgen = witgen
+        self.status = "ready"
+        self.proof = None
+        self.pub_data = None
+        self.err_string = ""
+        self.canceled = False
+        self.pending = None        # (circuit, body, is_wtns)
+        self.executing = None
+        self.mtx = threading.Lock()
+
+    def start_prove(self, body: bytes, circuit: str, is_wtns: bool):
+        with self.mtx:
+            if circuit not in self.provers:
+                raise KeyError(circuit)
+            self.pending = (circuit, body, is_wtns)
+            if self.status == "busy":
+                self.canceled = True
+            self._check_pending()
+
+    def _check_pending(self):
+        # caller holds self.mtx
+        if self.status != "busy" and self.pending is not None:
+            self.executing = self.pending
+            self.pending = None
+            self.status = "busy"
+            self.err_string = ""
+            self.canceled = False
+            self.proof = None
+            threading.Thread(target=self._thread_calculate_prove,
+                             daemon=True).start()
+
+    def _witness_bytes(self, circuit: str, body: bytes, is_wtns: bool) -> bytes:
+        if is_wtns:
+            return body
+        if self.witgen is None:
+            raise ProverError(
+                "no witness generator configured; POST the .wtns directly "
+                "with Content-Type: application/octet-stream")
+        with tempfile.TemporaryDirectory() as td:
+            inp = pathlib.Path(td) / f"input_{circuit}.json"
+            out = pathlib.Path(td) / f"{circuit}.wtns"
+            inp.write_bytes(body)
+            cmd = self.witgen.format(circuit=circuit, input=inp, output=out)
+            res = subprocess.run(cmd, shell=True, capture_output=True)
+            if res.returncode != 0 or not out.exists():
+                raise ProverError(
+                    f"witness generator failed: {res.stderr.decode()[:500]}")
+            return out.read_bytes()
+
+    def _thread_calculate_prove(self):
+        circuit, body, is_wtns = self.executing
+        try:
+            wtns = self._witness_bytes(circuit, body, is_wtns)
+            if not (self.canceled):
+                proof_json, public_json = self.provers[circuit].prove(wtns)
+                self.proof = json.loads(proof_json)
+                self.pub_data = json.loads(public_json)
+        except Exception as e:  # noqa: BLE001 - status machine captures all
+            self.err_string = str(e)
+        self._calc_finished()
+
+    def _calc_finished(self):
+        with self.mtx:
+            if self.canceled:
+                self.status = "aborted"
+            elif self.err_string:
+                self.status = "failed"
+            else:
+                self.status = "success"
+            self.canceled = False
+            self.executing = None
+            self._check_pending()
+
+    def abort(self):
+        with self.mtx:
+            if self.status == "busy":
+                self.canceled = True
+
+    def get_status(self) -> dict:
+        st = {"status": self.status}
+        if self.status == "failed":
+            st["error"] = self.err_string
+        elif self.status == "success":
+            st["proof"] = json.dumps(self.proof)
+            st["pubData"] = json.dumps(self.pub_data)
+        return st
+
+
+class _Handler(BaseHTTPRequestHandler):
+    full_prover: FullProver = None  # set by serve()
+
+    def _send(self, code: int, body: bytes = b"",
+              ctype: str = "application/json"):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/status":
+            self._send(200, json.dumps(
+                self.full_prover.get_status()).encode())
+        elif self.path == "/config":
+            self._send(200)
+        else:
+            self._send(404)
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(n) if n else b""
+        if self.path.startswith("/input/"):
+            circuit = self.path[len("/input/"):]
+            is_wtns = self.headers.get(
+                "Content-Type", "") == "application/octet-stream"
+            try:
+                self.full_prover.start_prove(body, circuit, is_wtns)
+            except KeyError:
+                self._send(404, b'{"error": "unknown circuit"}')
+                return
+            self._send(200)
+        elif self.path == "/cancel":
+            self.full_prover.abort()
+            self._send(200)
+        elif self.path in ("/start", "/stop", "/config"):
+            self._send(200)
+        else:
+            self._send(404)
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+
+def serve(zkey_paths, port: int = 9080, witgen: str | None = None,
+          backend: str = "jax"):
+    fp = FullProver(zkey_paths, witgen=witgen, backend=backend)
+    handler = type("Handler", (_Handler,), {"full_prover": fp})
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), handler)
+    return fp, httpd
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="ultragroth_tpu.server",
+        description="proof server (route parity with the reference "
+                    "proverServer)")
+    ap.add_argument("zkeys", nargs="+")
+    ap.add_argument("--port", type=int, default=9080)
+    ap.add_argument("--witgen", default=None,
+                    help="witness generator command template, e.g. "
+                         "'./build/{circuit} {input} {output}'")
+    ap.add_argument("--backend", default="jax", choices=["jax", "oracle"])
+    args = ap.parse_args(argv)
+    _, httpd = serve(args.zkeys, args.port, args.witgen, args.backend)
+    print(f"proof server listening on :{args.port}", file=sys.stderr)
+    httpd.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
