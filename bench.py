@@ -82,15 +82,16 @@ def bench_golden_prove(jax) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--log-n", type=int, default=16)
+    ap.add_argument("--log-n", type=int, default=18)
     ap.add_argument("--window", type=int, default=13)
-    ap.add_argument("--skip-prove", action="store_true")
+    ap.add_argument("--with-prove", action="store_true",
+                    help="also time the golden end-to-end prove (adds several minutes of one-time G2-MSM compile on a cold cache)")
     args = ap.parse_args()
 
     jax = _setup_jax()
     pps, msm_dt = bench_msm(jax, args.log_n, args.window)
     extra = {}
-    if not args.skip_prove:
+    if args.with_prove:
         try:
             extra["golden_prove_s"] = round(bench_golden_prove(jax), 4)
         except Exception as e:  # noqa: BLE001
