@@ -22,7 +22,7 @@ REPO = pathlib.Path(__file__).resolve().parent
 
 def _setup_jax():
     import jax
-    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache_tpu"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     return jax

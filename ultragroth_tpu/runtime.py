@@ -31,8 +31,13 @@ def configure() -> None:
 
     cache = os.environ.get("ULTRAGROTH_COMPILE_CACHE")
     if cache != "off":
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            backend = "unknown"
         path = pathlib.Path(cache) if cache else (
-            pathlib.Path.home() / ".cache" / "ultragroth_tpu" / "xla")
+            pathlib.Path.home() / ".cache" / "ultragroth_tpu"
+            / f"xla-{backend}")
         try:
             path.mkdir(parents=True, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", str(path))
