@@ -64,6 +64,24 @@ def bench_msm(jax, log_n: int, c: int, iters: int = 3) -> float:
     return n / dt, dt
 
 
+def bench_ntt(jax, log_n: int = 20) -> float:
+    """Fr NTT latency (s) at 2^log_n, steady-state."""
+    import numpy as np
+    from ultragroth_tpu.ops import ntt as dntt
+
+    def _sync(x):
+        return np.asarray(x[0, :2])
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 1 << 16, size=(16, 1 << log_n), dtype=np.uint32)
+    out = dntt.ntt(a, log_n)
+    _sync(out)
+    t0 = time.perf_counter()
+    out = dntt.ntt(out, log_n)
+    _sync(out)
+    return time.perf_counter() - t0
+
+
 def bench_golden_prove(jax) -> float:
     """End-to-end golden prove latency (s), zkey resident, steady-state."""
     from ultragroth_tpu.io.zkey import parse_groth16_zkey
@@ -84,6 +102,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-n", type=int, default=18)
     ap.add_argument("--window", type=int, default=13)
+    ap.add_argument("--skip-ntt", action="store_true")
     ap.add_argument("--with-prove", action="store_true",
                     help="also time the golden end-to-end prove (adds several minutes of one-time G2-MSM compile on a cold cache)")
     args = ap.parse_args()
@@ -91,6 +110,13 @@ def main():
     jax = _setup_jax()
     pps, msm_dt = bench_msm(jax, args.log_n, args.window)
     extra = {}
+    if not args.skip_ntt:
+        try:
+            ntt_dt = bench_ntt(jax)
+            extra["ntt_2^20_ms"] = round(ntt_dt * 1000, 1)
+            extra["ntt_2^20_points_per_sec"] = round((1 << 20) / ntt_dt, 1)
+        except Exception as e:  # noqa: BLE001
+            extra["ntt_error"] = str(e)[:200]
     if args.with_prove:
         try:
             extra["golden_prove_s"] = round(bench_golden_prove(jax), 4)
