@@ -136,3 +136,33 @@ def test_server_status_machine(tmp_path, small_groth16):
             assert urllib.request.urlopen(req).status == 200
     finally:
         httpd.shutdown()
+
+
+def test_server_ultragroth_autodetect(tmp_path, small_ultra):
+    """The server must preload UltraGroth zkeys and prove from a posted
+    .uwtns (protocol auto-detection, rand-signal-excluded publics)."""
+    from ultragroth_tpu.server import serve
+    circ, setup = small_ultra
+    zkey = tmp_path / "ug.zkey"
+    zkey.write_bytes(setup.zkey_bytes)
+    fp, httpd = serve([str(zkey)], port=0, backend="oracle")
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/input/ug", data=circ.uwtns_bytes(),
+            headers={"Content-Type": "application/octet-stream"})
+        assert urllib.request.urlopen(req).status == 200
+        for _ in range(300):
+            st = json.load(urllib.request.urlopen(f"{base}/status"))
+            if st["status"] not in ("busy", "ready"):
+                break
+            time.sleep(0.1)
+        assert st["status"] == "success", st
+        vk_json = json.dumps(setup.vk_json)
+        assert api.ultra_groth_verify(st["proof"], st["pubData"], vk_json) \
+            == api.VERIFIER_VALID_PROOF
+        assert json.loads(st["pubData"]) == [str(circ.pub_x)]
+    finally:
+        httpd.shutdown()
