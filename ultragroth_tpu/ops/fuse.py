@@ -51,19 +51,29 @@ def fused_map(fn, block: int = 1024, name: str | None = None):
         bool_mask = [l.dtype == jnp.bool_ for l in leaves]
         leaves = [l.astype(jnp.uint32) if b else l
                   for l, b in zip(leaves, bool_mask)]
+        # promote 1-D leaves to [1, N]: 1-D kernel operands hit XLA/Mosaic
+        # tiling mismatches at some widths (T(1024) vs T(512))
+        dim1 = [l.ndim == 1 for l in leaves]
+        leaves = [l[None] if d else l for l, d in zip(leaves, dim1)]
 
         def fn_flat(*flat):
+            flat = [l[0] if d else l for l, d in zip(flat, dim1)]
             flat = [l.astype(jnp.bool_) if b else l
                     for l, b in zip(flat, bool_mask)]
             out = fn(*jax.tree_util.tree_unflatten(treedef, flat))
             out_leaves, out_def = jax.tree_util.tree_flatten(out)
             obool = [l.dtype == jnp.bool_ for l in out_leaves]
+            odim1 = [l.ndim == 1 for l in out_leaves]
             out_leaves = [l.astype(jnp.uint32) if b else l
                           for l, b in zip(out_leaves, obool)]
-            return out_leaves, out_def, obool
+            out_leaves = [l[None] if d else l
+                          for l, d in zip(out_leaves, odim1)]
+            return out_leaves, out_def, obool, odim1
 
         if not _use_pallas():
-            out_leaves, out_def, obool = fn_flat(*leaves)
+            out_leaves, out_def, obool, odim1 = fn_flat(*leaves)
+            out_leaves = [l[0] if d else l
+                          for l, d in zip(out_leaves, odim1)]
             out_leaves = [l.astype(jnp.bool_) if b else l
                           for l, b in zip(out_leaves, obool)]
             return jax.tree_util.tree_unflatten(out_def, out_leaves)
@@ -83,17 +93,17 @@ def fused_map(fn, block: int = 1024, name: str | None = None):
         meta = {}
 
         def shape_probe(*xs):
-            out_leaves, out_def, obool = fn_flat(*xs)
-            meta["def"], meta["bool"] = out_def, obool
+            out_leaves, out_def, obool, odim1 = fn_flat(*xs)
+            meta["def"], meta["bool"], meta["dim1"] = out_def, obool, odim1
             return out_leaves
 
         out_avals = jax.eval_shape(shape_probe, *slice_avals)
-        out_def, obool = meta["def"], meta["bool"]
+        out_def, obool, odim1 = meta["def"], meta["bool"], meta["dim1"]
 
         def kernel(*refs):
             in_refs = refs[:len(leaves)]
             out_refs = refs[len(leaves):]
-            outs, _, _ = fn_flat(*[r[...] for r in in_refs])
+            outs, _, _, _ = fn_flat(*[r[...] for r in in_refs])
             for r, o in zip(out_refs, outs):
                 r[...] = o
 
@@ -117,6 +127,7 @@ def fused_map(fn, block: int = 1024, name: str | None = None):
         )(*leaves)
         if pad:
             out = [o[..., :n] for o in out]
+        out = [o[0] if d else o for o, d in zip(out, odim1)]
         out = [o.astype(jnp.bool_) if b else o for o, b in zip(out, obool)]
         return jax.tree_util.tree_unflatten(out_def, out)
 
