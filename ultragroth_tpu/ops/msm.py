@@ -97,6 +97,10 @@ def _bucket_accumulate(ops: CurveOps, madd, packed, x_like, y_like, digits,
     counts = jnp.bincount(digits.astype(jnp.int32), length=n_buckets)
     offsets = jnp.concatenate(
         [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
+    # bucket 0 contributes nothing (digit 0) and collects every zero-scalar
+    # / padding point - accumulating it would stretch max_count (and thus
+    # the loop trip count) to the padding size
+    counts = counts.at[0].set(0)
     max_count = jnp.max(counts)
 
     acc0 = ops.inf_xyzz((n_buckets,))
