@@ -86,6 +86,15 @@ def ntt_sharded(a, log_n: int, mesh: Mesh, axis: str = "data",
     if inverse:
         w = pow(w, -1, FR_MODULUS)
 
+    # Warm the lru-cached twiddle tables OUTSIDE the shard_map region:
+    # cache entries first created inside a shard_map trace would capture
+    # ShardMapTracers and poison every later (non-sharded) NTT call.
+    base_ntt._stage_twiddles(log_n1, inverse)
+    base_ntt._stage_twiddles(log_n2, inverse)
+    if inverse:
+        base_ntt._n_inv_mont(log_n1)
+        base_ntt._n_inv_mont(log_n2)
+
     # per-row twiddle bases w_n^(j1), j1 global row index: precompute [L, n1]
     with jax.ensure_compile_time_eval():
         row_bases = base_ntt._powers(F, w, n1)
