@@ -128,7 +128,12 @@ class CurveOps:
         added = (x3, y3, zz3, zzz3)
 
         q_xyzz = self.affine_to_xyzz(qx, qy, q_inf)
-        doubled = self.dbl(q_xyzz)
+        # the double path only matters when some lane has P == Q; gate its
+        # ~9 muls behind a scalar cond (when false, `doubled` is never
+        # selected, so any placeholder is sound)
+        need_dbl = jnp.any(same_x & same_y & ~p_inf & ~q_inf)
+        doubled = jax.lax.cond(need_dbl, lambda: self.dbl(q_xyzz),
+                               lambda: q_xyzz)
 
         batch = self._batch_shape(qx)
         out = self.select(same_x & same_y, doubled, added)
@@ -162,7 +167,8 @@ class CurveOps:
         y3 = F.sub(t1, t2)
         added = (x3, y3, zz3, zzz3)
 
-        doubled = self.dbl(p)
+        need_dbl = jnp.any(same_x & same_y & ~p_inf & ~q_inf)
+        doubled = jax.lax.cond(need_dbl, lambda: self.dbl(p), lambda: p)
         batch = self._batch_shape(x1)
         out = self.select(same_x & same_y, doubled, added)
         out = self.select(same_x & ~same_y & ~p_inf & ~q_inf,
