@@ -64,7 +64,7 @@ int64_t ug_binfile_scan(const uint8_t *data, uint64_t size,
         memcpy(&type, data + pos, 4);
         memcpy(&ssize, data + pos + 4, 8);
         pos += 12;
-        if (pos + ssize > size) return -1;
+        if (ssize > size - pos) return -1;  // overflow-safe bounds check
         if (count < max_sections) {
             sections[count].type = type;
             sections[count].offset = pos;

@@ -13,9 +13,11 @@ Protocol parity with /root/reference/src/ultra_groth.cpp:
   verify       - 5-pairing check with vkX += derived_rand * IC_rand
                  (:581-648)
 
-Byte-order note: derive_challenge's mpz_import of the keccak output uses
-byte order little-endian (matching the prover's own re-export at :441,
-order=-1/endian=-1); prover and verifier agree by construction.
+Byte-order note: derive_challenge ingests the keccak digest BIG-endian.
+The reference's mpz_import uses the out-of-spec order=0 (:54), which GMP
+executes as order>=0, i.e. most-significant byte first — pinned against
+the actual libgmp in tests/test_fs_interop.py.  (Round 1 read it as
+little-endian; that diverged from the reference on every challenge.)
 """
 from __future__ import annotations
 
@@ -40,7 +42,8 @@ def derive_challenge(commitment) -> int:
     """Fiat-Shamir: keccak256(x||y big-endian 32B each) mod r.
 
     Parity: src/ultra_groth.cpp:32-58 (mpz_export order=1/size=8/endian=1
-    == 32-byte big-endian; digest ingested little-endian).
+    == 32-byte big-endian; digest ingested with mpz_import order=0, which
+    GMP treats as order>=0 == big-endian — see tests/test_fs_interop.py).
     """
     if commitment is None:
         buf = b"\0" * 64
@@ -48,7 +51,7 @@ def derive_challenge(commitment) -> int:
         x, y = commitment
         buf = x.to_bytes(32, "big") + y.to_bytes(32, "big")
     digest = keccak256(buf)
-    return int.from_bytes(digest, "little") % R
+    return int.from_bytes(digest, "big") % R
 
 
 def compute_lookup(witness: list, chunks, frequencies, wtns_indxs,
@@ -110,6 +113,12 @@ class UltraGrothVerificationKey:
 
     @classmethod
     def from_json_dict(cls, d: dict) -> "UltraGrothVerificationKey":
+        # gating parity: ultra_groth_parse_key, src/verifier.cpp:128-141
+        if d.get("protocol") != "ultragroth" or d.get("curve") != "bn128":
+            raise ValueError(
+                "invalid verification key data: protocol does not match")
+        if not d.get("IC"):
+            raise ValueError("invalid verification key data: IC is empty")
         return cls(alpha=g1_from_json(d["vk_alpha_1"]),
                    beta=g2_from_json(d["vk_beta_2"]),
                    gamma=g2_from_json(d["vk_gamma_2"]),

@@ -99,22 +99,33 @@ class FullProver:
             return out.read_bytes()
 
     def _thread_calculate_prove(self):
-        circuit, body, is_wtns = self.executing
+        # All shared state is read/written under self.mtx; the prove itself
+        # runs unlocked on local variables so /status and /input stay
+        # responsive (reference granularity: fullprover.cpp:137-202).
+        with self.mtx:
+            circuit, body, is_wtns = self.executing
+        proof = pub_data = None
+        err = ""
         try:
             wtns = self._witness_bytes(circuit, body, is_wtns)
-            if not (self.canceled):
+            with self.mtx:
+                canceled = self.canceled
+            if not canceled:
                 proof_json, public_json = self.provers[circuit].prove(wtns)
-                self.proof = json.loads(proof_json)
-                self.pub_data = json.loads(public_json)
+                proof = json.loads(proof_json)
+                pub_data = json.loads(public_json)
         except Exception as e:  # noqa: BLE001 - status machine captures all
-            self.err_string = str(e)
-        self._calc_finished()
+            err = str(e)
+        self._calc_finished(proof, pub_data, err)
 
-    def _calc_finished(self):
+    def _calc_finished(self, proof, pub_data, err: str):
         with self.mtx:
+            self.proof = proof
+            self.pub_data = pub_data
+            self.err_string = err
             if self.canceled:
                 self.status = "aborted"
-            elif self.err_string:
+            elif err:
                 self.status = "failed"
             else:
                 self.status = "success"
@@ -128,12 +139,13 @@ class FullProver:
                 self.canceled = True
 
     def get_status(self) -> dict:
-        st = {"status": self.status}
-        if self.status == "failed":
-            st["error"] = self.err_string
-        elif self.status == "success":
-            st["proof"] = json.dumps(self.proof)
-            st["pubData"] = json.dumps(self.pub_data)
+        with self.mtx:
+            st = {"status": self.status}
+            if self.status == "failed":
+                st["error"] = self.err_string
+            elif self.status == "success":
+                st["proof"] = json.dumps(self.proof)
+                st["pubData"] = json.dumps(self.pub_data)
         return st
 
 
