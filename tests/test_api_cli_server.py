@@ -100,6 +100,25 @@ def test_cli_roundtrip(tmp_path, small_groth16):
     assert cli_main(["verify", str(vk), str(bad), str(proof)]) == 1
 
 
+def test_cli_setup_ultra_roundtrip(tmp_path):
+    """setup-ultra -> prove-ultra -> verify-ultra, all through the CLI."""
+    from ultragroth_tpu.cli import main as cli_main
+    zkey = tmp_path / "u.zkey"
+    vk = tmp_path / "u_vk.json"
+    uwtns = tmp_path / "u.uwtns"
+    assert cli_main(["setup-ultra", str(zkey), "--vk", str(vk),
+                     "--uwtns", str(uwtns), "--chunks", "6",
+                     "--table-size", "4", "--seed", "3"]) == 0
+    proof, public = tmp_path / "p.json", tmp_path / "pub.json"
+    assert cli_main(["prove-ultra", str(zkey), str(uwtns), str(proof),
+                     str(public), "--backend", "oracle"]) == 0
+    assert cli_main(["verify-ultra", str(vk), str(public), str(proof)]) == 0
+    bad = tmp_path / "bad.json"
+    pub0 = json.loads(public.read_text())
+    bad.write_text(json.dumps([str(int(pub0[0]) + 1)] + pub0[1:]))
+    assert cli_main(["verify-ultra", str(vk), str(bad), str(proof)]) == 1
+
+
 def test_server_status_machine(tmp_path, small_groth16):
     from ultragroth_tpu.server import serve
     setup, wtns_bytes = small_groth16

@@ -33,3 +33,34 @@ def groth16_verify(proof: str, inputs: str, vk: str) -> int:
 def ultra_groth_verify(proof: str, inputs: str, vk: str) -> int:
     return api.ultra_groth_verify(proof, inputs, vk)
 
+
+# -- handle API (create-once / prove-many; src/prover.h:80-163) --------------
+
+def groth16_create(zkey: bytes):
+    return api.Groth16Prover(zkey)
+
+
+def ultra_groth_create(zkey: bytes):
+    return api.UltraGrothProver(zkey)
+
+
+def groth16_create_file(path: str):
+    return api.Groth16Prover.from_file(path)
+
+
+def ultra_groth_create_file(path: str):
+    return api.UltraGrothProver.from_file(path)
+
+
+def prover_prove(prover, wtns: bytes):
+    """Shared by both handle types: -> (proof_json, public_json)."""
+    return prover.prove(wtns)
+
+
+def groth16_public_size_file(path: str) -> int:
+    return api.groth16_public_size_for_zkey_file(path)
+
+
+def ultra_groth_public_size_file(path: str) -> int:
+    return api.ultra_groth_public_size_for_zkey_file(path)
+

@@ -72,6 +72,27 @@ def _cmd_setup(args):
     return 0
 
 
+def _cmd_setup_ultra(args):
+    """Generate a synthetic UltraGroth zkey + vk + uwtns (lookup circuit)."""
+    import json
+    import random
+    from .testkit.circuits import LookupCircuit
+    from .testkit.setup import ultragroth_setup
+    rng = random.Random(args.seed)
+    chunks = [rng.randrange(args.table_size) for _ in range(args.chunks)]
+    circ = LookupCircuit(chunks, args.table_size)
+    res = ultragroth_setup(circ.r1cs, circ.round_indexes, circ.final_indexes,
+                           circ.rand_indx, seed=args.seed)
+    open(args.zkey, "wb").write(res.zkey_bytes)
+    if args.vk:
+        json.dump(res.vk_json, open(args.vk, "w"))
+    if args.uwtns:
+        open(args.uwtns, "wb").write(circ.uwtns_bytes())
+    print(f"wrote {args.zkey}: nVars={circ.r1cs.n_vars} "
+          f"chunks={args.chunks} table={args.table_size}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ultragroth_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -100,6 +121,15 @@ def main(argv=None) -> int:
     p.add_argument("--constraints", type=int, default=1 << 10)
     p.add_argument("--seed", type=int, default=1)
     p.set_defaults(fn=_cmd_setup)
+
+    p = sub.add_parser("setup-ultra")
+    p.add_argument("zkey")
+    p.add_argument("--vk", default=None)
+    p.add_argument("--uwtns", default=None)
+    p.add_argument("--chunks", type=int, default=8)
+    p.add_argument("--table-size", type=int, default=4)
+    p.add_argument("--seed", type=int, default=1)
+    p.set_defaults(fn=_cmd_setup_ultra)
 
     args = ap.parse_args(argv)
     return args.fn(args)
