@@ -14,6 +14,9 @@ from __future__ import annotations
 import time
 import sys
 
+import sys
+sys.path.insert(0, "/root/repo")
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -23,7 +26,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-N1, N2 = 1, 9  # loop lengths differenced
+N1, N2 = 2, 34  # loop lengths differenced
 
 
 def sync(x):
@@ -44,13 +47,18 @@ def timed(label, body2, state, consts, per=1.0):
         out = run(N1, state, consts)
         sync(out)
         dt_c = time.perf_counter() - t_compile
-        t0 = time.perf_counter()
-        sync(run(N1, state, consts))
-        dt1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        sync(run(N2, state, consts))
-        dt2 = time.perf_counter() - t0
-        per_iter = (dt2 - dt1) / (N2 - N1)
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sync(run(N1, state, consts))
+            dt1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            sync(run(N2, state, consts))
+            dt2 = time.perf_counter() - t0
+            per = (dt2 - dt1) / (N2 - N1)
+            if per > 0 and (best is None or per < best):
+                best = per
+        per_iter = best if best is not None else float("nan")
         print(f"{label}: {per_iter*1e3:.3f} ms/iter "
               f"({per_iter/per*1e9:.1f} ns/unit) compile={dt_c:.1f}s",
               flush=True)

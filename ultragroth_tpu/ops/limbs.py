@@ -46,6 +46,15 @@ def ints_to_planes(values) -> np.ndarray:
     return out
 
 
+def u32_to_planes(values: np.ndarray) -> np.ndarray:
+    """[N] uint32 small values -> [NLIMBS, N] limb planes (vectorized)."""
+    values = np.asarray(values, dtype=np.uint32)
+    out = np.zeros((NLIMBS,) + values.shape, dtype=np.uint32)
+    out[0] = values & np.uint32(LIMB_MASK)
+    out[1] = values >> np.uint32(LIMB_BITS)
+    return out
+
+
 def planes_to_ints(planes: np.ndarray) -> list:
     """[NLIMBS, *batch] -> flat list of ints (vectorized via object dtype)."""
     planes = np.asarray(planes)

@@ -89,24 +89,39 @@ class JaxGroth16Prover:
         self.c_vars = dmsm.default_window(zk.n_vars)
         self.c_h = dmsm.default_window(zk.domain_size)
 
-    def msm_outputs(self, witness_words: np.ndarray):
-        """The five MSM results as device xyzz points (for tests/bench)."""
+    def msm_outputs(self, witness_words: np.ndarray, tracer=None):
+        """The five MSM results as device xyzz points (for tests/bench).
+
+        tracer: optional trace.Tracer; phase names mirror the reference's
+        per-phase prints (src/ultra_groth.cpp:199-239 structure)."""
+        from ..trace import Tracer
+        t = tracer or Tracer(enabled=False)
         zk = self.zk
         w_std = lb.words_to_planes(witness_words)       # standard form
         FR = fr()
         w_mont = FR.to_mont(w_std)
+        t.mark("upload", w_mont)
 
         pi_a = dmsm.msm_g1(*self.points_a, w_std, c=self.c_vars)
+        t.mark("msm_a", pi_a)
         pi_b1 = dmsm.msm_g1(*self.points_b1, w_std, c=self.c_vars)
+        t.mark("msm_b1", pi_b1)
         pi_b2 = dmsm.msm_g2(*self.points_b2, w_std, c=self.c_vars)
+        t.mark("msm_b2", pi_b2)
         pi_c = dmsm.msm_g1(*self.points_c, w_std[:, zk.n_public + 1:],
                            c=self.c_vars)
+        t.mark("msm_c", pi_c)
 
         a, b = dntt.scatter_coefs(w_mont, self.coef_val_mont, self.coef_m,
                                   self.coef_c, self.coef_s, zk.domain_size)
+        t.mark("scatter", (a, b))
         h_std = dntt.quotient_scalars(a, b, self.log_n)
+        t.mark("quotient", h_std)
         pi_h = dmsm.msm_g1(*self.points_h, h_std, c=self.c_h)
+        t.mark("msm_h", pi_h)
         return pi_a, pi_b1, pi_b2, pi_c, pi_h
+
+    last_phase_ms: dict | None = None
 
     def prove(self, witness_words: np.ndarray, r: int | None = None,
               s: int | None = None) -> Proof:
@@ -115,8 +130,10 @@ class JaxGroth16Prover:
             raise ValueError("Invalid witness length.")
         r = random_blinding() if r is None else r
         s = random_blinding() if s is None else s
-        pi_a, pi_b1, pi_b2, pi_c, pi_h = self.msm_outputs(witness_words)
-        return finalize_proof(
+        from ..trace import Tracer
+        t = Tracer(label="groth16-prove")
+        pi_a, pi_b1, pi_b2, pi_c, pi_h = self.msm_outputs(witness_words, t)
+        proof = finalize_proof(
             self,
             xyzz_to_oracle_g1(pi_a),
             xyzz_to_oracle_g1(pi_b1),
@@ -124,6 +141,9 @@ class JaxGroth16Prover:
             xyzz_to_oracle_g1(pi_c),
             xyzz_to_oracle_g1(pi_h),
             r, s)
+        t.mark("finalize")
+        self.last_phase_ms = t.report()
+        return proof
 
 
 class JaxUltraGrothProver:
@@ -170,22 +190,27 @@ class JaxUltraGrothProver:
     @staticmethod
     def _lookup_scatter(w_std, chunks, freqs, wtns_indxs, push_indxs,
                         rand: int):
-        """Batched compute_lookup (parity: src/ultra_groth.cpp:61-106)."""
+        """Batched compute_lookup (parity: src/ultra_groth.cpp:61-106).
+
+        All O(T) math runs on device: the reference's serial per-entry
+        inversion loop (:72-79) becomes (i + rand) built from a vectorized
+        iota, one batched Fermat inversion, and one batched product.  The
+        only host bigint work is the O(1) rand scalar."""
         import jax.numpy as jnp
-        from ..constants import FR_MODULUS as R
         FR = fr()
         T = len(freqs)
-        table = [(i + rand) % R for i in range(T)]
-        tm = FR.to_mont(lb.ints_to_planes(table))
-        inv2_m = FR.inv_mont(tm)                       # Montgomery domain
-        freqs_m = FR.to_mont(lb.ints_to_planes([int(f) for f in freqs]))
+        idx_std = jnp.asarray(lb.u32_to_planes(np.arange(T, dtype=np.uint32)))
+        rand_planes = jnp.asarray(lb.ints_to_planes([rand]))   # O(1) host
+        table_std = FR.add(idx_std, rand_planes)      # (i + rand) mod r
+        inv2_m = FR.inv_mont(FR.to_mont(table_std))   # Montgomery domain
+        freqs_m = FR.to_mont(jnp.asarray(
+            lb.u32_to_planes(np.asarray(freqs, np.uint32))))
         prod_std = FR.from_mont(FR.mont_mul(freqs_m, inv2_m))
         # mont_mul(mont, mont) -> mont; one more from_mont each
         inv2_std = FR.from_mont(inv2_m)
         inv1_std = inv2_std[:, np.asarray(chunks, np.int32)]
-        rand_planes = lb.ints_to_planes([rand])
         push = jnp.concatenate(
-            [jnp.asarray(rand_planes), inv1_std, inv2_std, prod_std], axis=1)
+            [rand_planes, inv1_std, inv2_std, prod_std], axis=1)
         vals = push[:, np.asarray(push_indxs, np.int32)]
         return jnp.asarray(w_std).at[:, np.asarray(wtns_indxs, np.int32)].set(vals)
 
@@ -200,6 +225,8 @@ class JaxUltraGrothProver:
         r0 = random_blinding() if r0 is None else r0
         r = random_blinding() if r is None else r
         s = random_blinding() if s is None else s
+        from ..trace import Tracer
+        t = Tracer(label="ultragroth-prove")
 
         w_std = jnp.asarray(lb.words_to_planes(witness_words))
 
@@ -210,24 +237,33 @@ class JaxUltraGrothProver:
         d = xyzz_to_oracle_g1(d_dev)
         d = oc.g1_add(d, oc.g1_mul(self.final_delta1, r0))
         rand = derive_challenge(d)
+        t.mark("round0_commit")
 
         w_std = self._lookup_scatter(w_std, lookup.chunks, lookup.frequencies,
                                      lookup.wtns_indxs, lookup.push_indxs,
                                      rand)
         FR = fr()
         w_mont = FR.to_mont(w_std)
+        t.mark("lookup", w_mont)
 
         pi_a = dmsm.msm_g1(*self.points_a, w_std, c=self.c_vars)
+        t.mark("msm_a", pi_a)
         pi_b1 = dmsm.msm_g1(*self.points_b1, w_std, c=self.c_vars)
+        t.mark("msm_b1", pi_b1)
         pi_b2 = dmsm.msm_g2(*self.points_b2, w_std, c=self.c_vars)
+        t.mark("msm_b2", pi_b2)
         pi_c = dmsm.msm_g1(*self.final_points_c,
                            w_std[:, self.final_indexes],
                            c=dmsm.default_window(len(self.final_indexes)))
+        t.mark("msm_c", pi_c)
 
         a, b = dntt.scatter_coefs(w_mont, self.coef_val_mont, self.coef_m,
                                   self.coef_c, self.coef_s, zk.domain_size)
+        t.mark("scatter", (a, b))
         h_std = dntt.quotient_scalars(a, b, self.log_n)
+        t.mark("quotient", h_std)
         pi_h = dmsm.msm_g1(*self.points_h, h_std, c=self.c_h)
+        t.mark("msm_h", pi_h)
 
         proof = finalize_ultragroth(
             self,
@@ -237,6 +273,8 @@ class JaxUltraGrothProver:
             xyzz_to_oracle_g1(pi_c),
             xyzz_to_oracle_g1(pi_h),
             d, r0, r, s)
+        t.mark("finalize")
+        self.last_phase_ms = t.report()
         # return final witness values for public-signal extraction
         from ..ops import limbs as _lb
         w_final = _lb.planes_to_ints(np.asarray(w_std))

@@ -1,0 +1,70 @@
+"""In-prover phase timers (reference parity: the MSM1-5 / FFT wall-time
+prints of /root/reference/src/ultra_groth.cpp:199-239,321-335 and
+groth16.cpp's phase logs).
+
+Enable with ULTRAGROTH_TRACE=1 (prints one line per phase to stderr) or
+programmatically via Tracer(enabled=True).  Timings are relay-safe: each
+mark forces a tiny host readback of the phase output (block_until_ready
+does not truly sync through the axon relay), which serializes the phases -
+so tracing is strictly opt-in and the default path keeps JAX's async
+dispatch.
+
+The last prove's per-phase milliseconds are kept on the prover as
+`last_phase_ms` for bench.py / server metrics.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+def _env_enabled() -> bool:
+    return os.environ.get("ULTRAGROTH_TRACE", "") not in ("", "0", "off")
+
+
+def _sync(value) -> None:
+    """Force completion of `value` with a host readback of a tiny slice."""
+    import jax
+    import numpy as np
+    for leaf in jax.tree_util.tree_leaves(value):
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[:1])
+            return
+    # host-only values: nothing to sync
+
+
+class Tracer:
+    """Named phase marks around the prover pipeline.
+
+    with tracer.phase("msm_a") as p: p.out = pi_a
+    or the lighter tracer.mark("msm_a", pi_a) between pipeline steps.
+    """
+
+    def __init__(self, enabled: bool | None = None, label: str = "prove"):
+        self.enabled = _env_enabled() if enabled is None else enabled
+        self.label = label
+        self.phase_ms: dict[str, float] = {}
+        self._t0 = time.perf_counter() if self.enabled else 0.0
+
+    def mark(self, name: str, value=None) -> None:
+        """Record time since the previous mark; syncs on `value` first."""
+        if not self.enabled:
+            return
+        if value is not None:
+            _sync(value)
+        now = time.perf_counter()
+        ms = (now - self._t0) * 1e3
+        self.phase_ms[name] = self.phase_ms.get(name, 0.0) + ms
+        self._t0 = now
+        print(f"[ultragroth-tpu] {self.label} {name}: {ms:.1f} ms",
+              file=sys.stderr, flush=True)
+
+    def total_ms(self) -> float:
+        return sum(self.phase_ms.values())
+
+    def report(self) -> dict[str, float]:
+        if self.enabled:
+            print(f"[ultragroth-tpu] {self.label} total: "
+                  f"{self.total_ms():.1f} ms", file=sys.stderr, flush=True)
+        return self.phase_ms
