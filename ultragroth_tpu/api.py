@@ -92,25 +92,34 @@ def _check_prime(prime: int):
         raise ProverError("zkey curve not supported")
 
 
+def _make_mesh(devices):
+    """devices: None -> single-device; int/"all" -> 1-D data mesh."""
+    if devices is None:
+        return None
+    from .parallel import make_mesh
+    return make_mesh(devices)
+
+
 class Groth16Prover:
     """Handle-style prover: parse + device-upload once, prove many.
 
     Parity: groth16_prover_create / _prove / _destroy
-    (src/prover.cpp:144-216, 390-668)."""
+    (src/prover.cpp:144-216, 390-668).  devices: shard the prove across
+    that many chips (the scaling dimension the reference lacks)."""
 
-    def __init__(self, zkey_buffer, backend: str = "jax"):
+    def __init__(self, zkey_buffer, backend: str = "jax", devices=None):
         self.zk = parse_groth16_zkey(_as_u8(zkey_buffer))
         _check_prime(self.zk.r_prime)
         if backend == "jax":
-            self._prover = JaxGroth16Prover(self.zk)
+            self._prover = JaxGroth16Prover(self.zk, mesh=_make_mesh(devices))
         elif backend == "oracle":
             self._prover = g16.OracleGroth16Prover(self.zk)
         else:
             raise ProverError(f"unknown backend {backend!r}")
 
     @classmethod
-    def from_file(cls, path, backend: str = "jax"):
-        return cls(open(path, "rb").read(), backend=backend)
+    def from_file(cls, path, backend: str = "jax", devices=None):
+        return cls(open(path, "rb").read(), backend=backend, devices=devices)
 
     def prove(self, wtns_buffer, r=None, s=None) -> tuple[str, str]:
         """-> (proof_json, public_json).  Witness validation parity:
@@ -137,19 +146,20 @@ class UltraGrothProver:
     The witness copy of :283-285 is implicit (the lookup scatter is
     functional, not in-place)."""
 
-    def __init__(self, zkey_buffer, backend: str = "jax"):
+    def __init__(self, zkey_buffer, backend: str = "jax", devices=None):
         self.zk = parse_ultragroth_zkey(_as_u8(zkey_buffer))
         _check_prime(self.zk.r_prime)
         if backend == "jax":
-            self._prover = JaxUltraGrothProver(self.zk)
+            self._prover = JaxUltraGrothProver(self.zk,
+                                               mesh=_make_mesh(devices))
         elif backend == "oracle":
             self._prover = ug.OracleUltraGrothProver(self.zk)
         else:
             raise ProverError(f"unknown backend {backend!r}")
 
     @classmethod
-    def from_file(cls, path, backend: str = "jax"):
-        return cls(open(path, "rb").read(), backend=backend)
+    def from_file(cls, path, backend: str = "jax", devices=None):
+        return cls(open(path, "rb").read(), backend=backend, devices=devices)
 
     def prove(self, uwtns_buffer, r0=None, r=None, s=None) -> tuple[str, str]:
         wt = parse_wtns(_as_u8(uwtns_buffer))
@@ -174,12 +184,16 @@ class UltraGrothProver:
 
 # -- one-shot provers (src/prover.cpp:682-767) ------------------------------
 
-def groth16_prover(zkey_buffer, wtns_buffer, backend="jax") -> tuple[str, str]:
-    return Groth16Prover(zkey_buffer, backend=backend).prove(wtns_buffer)
+def groth16_prover(zkey_buffer, wtns_buffer, backend="jax",
+                   devices=None) -> tuple[str, str]:
+    return Groth16Prover(zkey_buffer, backend=backend,
+                         devices=devices).prove(wtns_buffer)
 
 
-def ultra_groth_prover(zkey_buffer, uwtns_buffer, backend="jax") -> tuple[str, str]:
-    return UltraGrothProver(zkey_buffer, backend=backend).prove(uwtns_buffer)
+def ultra_groth_prover(zkey_buffer, uwtns_buffer, backend="jax",
+                       devices=None) -> tuple[str, str]:
+    return UltraGrothProver(zkey_buffer, backend=backend,
+                            devices=devices).prove(uwtns_buffer)
 
 
 # -- verifiers (src/verifier.cpp:149-237) -----------------------------------

@@ -22,8 +22,10 @@ import sys
 def _cmd_prove(args, ultra: bool):
     from . import api
     cls = api.UltraGrothProver if ultra else api.Groth16Prover
+    devices = None if args.devices in (None, "1") else args.devices
     try:
-        prover = cls.from_file(args.zkey, backend=args.backend)
+        prover = cls.from_file(args.zkey, backend=args.backend,
+                               devices=devices)
         proof_json, public_json = prover.prove(open(args.wtns, "rb").read())
     except api.ProverError as e:
         print(f"Error: {e}", file=sys.stderr)
@@ -105,6 +107,9 @@ def main(argv=None) -> int:
         p.add_argument("public")
         p.add_argument("--backend", default="jax",
                        choices=["jax", "oracle"])
+        p.add_argument("--devices", default=None,
+                       help="shard the prove over N chips ('all' = every "
+                            "visible device); default single-device")
         p.set_defaults(fn=lambda a, u=ultra: _cmd_prove(a, u))
 
     for name, ultra in (("verify", False), ("verify-ultra", True)):

@@ -18,13 +18,17 @@ from jax import shard_map
 
 from ..ops.curve import g1_ops, g2_ops
 from ..ops import kernels
-from ..ops.msm import _msm, _hs_suffix, _pad_pow2, _tree_map
+from ..ops.msm import _msm, _fold_pairs, _pad_pow2, _tree_map
 
 
 def _fold_gathered(ops, group, pts, n: int):
     """Sum n gathered points (leaves [..., n]) -> single point leaves."""
-    s = _hs_suffix(ops, kernels.curve_add_where(group), pts, n)
-    return _tree_map(lambda t: t[..., 0], s)
+    assert n & (n - 1) == 0, n
+    aw = kernels.curve_add_where(group)
+    while n > 1:
+        pts = _fold_pairs(aw, pts)
+        n //= 2
+    return _tree_map(lambda t: t[..., 0], pts)
 
 
 def _sharded_msm(ops, group: str, mesh: Mesh, axis: str, x, y, inf, scalars,

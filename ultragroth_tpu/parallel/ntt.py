@@ -126,3 +126,28 @@ def ntt_sharded(a, log_n: int, mesh: Mesh, axis: str = "data",
     out = run(m, jnp.asarray(row_bases))             # [L, n2 (sharded), n1]
     # out[:, k2, k1] = X[k2 + n2*k1] -> natural order via transpose
     return out.transpose(0, 2, 1).reshape(L, 1 << log_n)
+
+
+def to_odd_coset_sharded(vals, log_n: int, mesh: Mesh, axis: str = "data"):
+    """Sharded twin of ops.ntt.to_odd_coset: ifft -> w_{2n}^i -> fft."""
+    from ..ops import kernels
+    coeffs = ntt_sharded(vals, log_n, mesh, axis, inverse=True)
+    shifted = kernels.fr_mont_mul()(coeffs, base_ntt._coset_powers(log_n))
+    return ntt_sharded(shifted, log_n, mesh, axis)
+
+
+def quotient_scalars_sharded(a, b, log_n: int, mesh: Mesh,
+                             axis: str = "data"):
+    """Sharded twin of ops.ntt.quotient_scalars: the six NTT passes of the
+    H(x) pipeline (parity: /root/reference/src/groth16.cpp:110-148) run as
+    4-step mesh NTTs; the elementwise combines stay fused XLA ops."""
+    from ..ops import kernels
+    F = fr()
+    mul = kernels.fr_mont_mul()
+    c = mul(a, b)
+    a2 = to_odd_coset_sharded(a, log_n, mesh, axis)
+    b2 = to_odd_coset_sharded(b, log_n, mesh, axis)
+    c2 = to_odd_coset_sharded(c, log_n, mesh, axis)
+    h = F.sub(mul(a2, b2), c2)
+    scale = base_ntt._h_scale_std(log_n)[:, None] + jnp.zeros_like(h)
+    return mul(h, scale)

@@ -60,11 +60,18 @@ class JaxGroth16Prover:
     Mirrors the create/prove/destroy amortization contract of the C API
     (src/prover.cpp:449-579): zkey parse + limb repack + twiddle tables are
     paid once.
+
+    mesh: optional jax.sharding.Mesh — when given, the five MSMs run
+    data-parallel across `mesh[axis]` (parallel/msm.py) and the quotient's
+    six NTT passes run as 4-step mesh NTTs (parallel/ntt.py).  This is the
+    scaling dimension the single-node reference lacks (SURVEY.md §2.12).
     """
 
-    def __init__(self, zkey):
+    def __init__(self, zkey, mesh=None, axis: str = "data"):
         self.zk = zkey
         zk = zkey
+        self.mesh = mesh
+        self.axis = axis
         self.log_n = zk.domain_size.bit_length() - 1
         assert (1 << self.log_n) == zk.domain_size
         FR = fr()
@@ -89,6 +96,26 @@ class JaxGroth16Prover:
         self.c_vars = dmsm.default_window(zk.n_vars)
         self.c_h = dmsm.default_window(zk.domain_size)
 
+    # -- mesh-dispatching compute phases ------------------------------------
+    def _msm_g1(self, pts, scalars, c: int):
+        if self.mesh is None:
+            return dmsm.msm_g1(*pts, scalars, c=c)
+        from ..parallel.msm import msm_g1_sharded
+        return msm_g1_sharded(*pts, scalars, self.mesh, self.axis, c=c)
+
+    def _msm_g2(self, pts, scalars, c: int):
+        if self.mesh is None:
+            return dmsm.msm_g2(*pts, scalars, c=c)
+        from ..parallel.msm import msm_g2_sharded
+        return msm_g2_sharded(*pts, scalars, self.mesh, self.axis, c=c)
+
+    def _quotient(self, a, b):
+        if self.mesh is None:
+            return dntt.quotient_scalars(a, b, self.log_n)
+        from ..parallel.ntt import quotient_scalars_sharded
+        return quotient_scalars_sharded(a, b, self.log_n, self.mesh,
+                                        self.axis)
+
     def msm_outputs(self, witness_words: np.ndarray, tracer=None):
         """The five MSM results as device xyzz points (for tests/bench).
 
@@ -102,22 +129,22 @@ class JaxGroth16Prover:
         w_mont = FR.to_mont(w_std)
         t.mark("upload", w_mont)
 
-        pi_a = dmsm.msm_g1(*self.points_a, w_std, c=self.c_vars)
+        pi_a = self._msm_g1(self.points_a, w_std, c=self.c_vars)
         t.mark("msm_a", pi_a)
-        pi_b1 = dmsm.msm_g1(*self.points_b1, w_std, c=self.c_vars)
+        pi_b1 = self._msm_g1(self.points_b1, w_std, c=self.c_vars)
         t.mark("msm_b1", pi_b1)
-        pi_b2 = dmsm.msm_g2(*self.points_b2, w_std, c=self.c_vars)
+        pi_b2 = self._msm_g2(self.points_b2, w_std, c=self.c_vars)
         t.mark("msm_b2", pi_b2)
-        pi_c = dmsm.msm_g1(*self.points_c, w_std[:, zk.n_public + 1:],
-                           c=self.c_vars)
+        pi_c = self._msm_g1(self.points_c, w_std[:, zk.n_public + 1:],
+                            c=self.c_vars)
         t.mark("msm_c", pi_c)
 
         a, b = dntt.scatter_coefs(w_mont, self.coef_val_mont, self.coef_m,
                                   self.coef_c, self.coef_s, zk.domain_size)
         t.mark("scatter", (a, b))
-        h_std = dntt.quotient_scalars(a, b, self.log_n)
+        h_std = self._quotient(a, b)
         t.mark("quotient", h_std)
-        pi_h = dmsm.msm_g1(*self.points_h, h_std, c=self.c_h)
+        pi_h = self._msm_g1(self.points_h, h_std, c=self.c_h)
         t.mark("msm_h", pi_h)
         return pi_a, pi_b1, pi_b2, pi_c, pi_h
 
@@ -154,13 +181,21 @@ class JaxUltraGrothProver:
     mirroring the reference's structure (src/ultra_groth.cpp:401-462).  The
     serial per-entry inversion loop of the reference (:72-79) becomes one
     batched Fermat inversion chain.
+
+    mesh/axis: same multi-chip contract as JaxGroth16Prover.
     """
 
-    def __init__(self, zkey):
+    _msm_g1 = JaxGroth16Prover._msm_g1
+    _msm_g2 = JaxGroth16Prover._msm_g2
+    _quotient = JaxGroth16Prover._quotient
+
+    def __init__(self, zkey, mesh=None, axis: str = "data"):
         from .ultragroth import derive_challenge, finalize_ultragroth
         from .groth16 import random_blinding
         self.zk = zkey
         zk = zkey
+        self.mesh = mesh
+        self.axis = axis
         self.log_n = zk.domain_size.bit_length() - 1
         assert (1 << self.log_n) == zk.domain_size
 
@@ -231,9 +266,9 @@ class JaxUltraGrothProver:
         w_std = jnp.asarray(lb.words_to_planes(witness_words))
 
         # round 0: commitment over the challenge-independent slice
-        d_dev = dmsm.msm_g1(*self.round_points_c,
-                            w_std[:, self.round_indexes],
-                            c=dmsm.default_window(len(self.round_indexes)))
+        d_dev = self._msm_g1(self.round_points_c,
+                             w_std[:, self.round_indexes],
+                             c=dmsm.default_window(len(self.round_indexes)))
         d = xyzz_to_oracle_g1(d_dev)
         d = oc.g1_add(d, oc.g1_mul(self.final_delta1, r0))
         rand = derive_challenge(d)
@@ -246,23 +281,23 @@ class JaxUltraGrothProver:
         w_mont = FR.to_mont(w_std)
         t.mark("lookup", w_mont)
 
-        pi_a = dmsm.msm_g1(*self.points_a, w_std, c=self.c_vars)
+        pi_a = self._msm_g1(self.points_a, w_std, c=self.c_vars)
         t.mark("msm_a", pi_a)
-        pi_b1 = dmsm.msm_g1(*self.points_b1, w_std, c=self.c_vars)
+        pi_b1 = self._msm_g1(self.points_b1, w_std, c=self.c_vars)
         t.mark("msm_b1", pi_b1)
-        pi_b2 = dmsm.msm_g2(*self.points_b2, w_std, c=self.c_vars)
+        pi_b2 = self._msm_g2(self.points_b2, w_std, c=self.c_vars)
         t.mark("msm_b2", pi_b2)
-        pi_c = dmsm.msm_g1(*self.final_points_c,
-                           w_std[:, self.final_indexes],
-                           c=dmsm.default_window(len(self.final_indexes)))
+        pi_c = self._msm_g1(self.final_points_c,
+                            w_std[:, self.final_indexes],
+                            c=dmsm.default_window(len(self.final_indexes)))
         t.mark("msm_c", pi_c)
 
         a, b = dntt.scatter_coefs(w_mont, self.coef_val_mont, self.coef_m,
                                   self.coef_c, self.coef_s, zk.domain_size)
         t.mark("scatter", (a, b))
-        h_std = dntt.quotient_scalars(a, b, self.log_n)
+        h_std = self._quotient(a, b)
         t.mark("quotient", h_std)
-        pi_h = dmsm.msm_g1(*self.points_h, h_std, c=self.c_h)
+        pi_h = self._msm_g1(self.points_h, h_std, c=self.c_h)
         t.mark("msm_h", pi_h)
 
         proof = finalize_ultragroth(

@@ -40,15 +40,17 @@ class FullProver:
     thread with a single pending slot (latest request wins)."""
 
     def __init__(self, zkey_paths, witgen: str | None = None,
-                 backend: str = "jax"):
+                 backend: str = "jax", devices=None):
         self.provers = {}
         for path in zkey_paths:
             path = pathlib.Path(path)
             name = path.stem.removesuffix(".zkey")
             try:
-                self.provers[name] = UltraGrothProver.from_file(path, backend)
+                self.provers[name] = UltraGrothProver.from_file(
+                    path, backend, devices=devices)
             except Exception:
-                self.provers[name] = Groth16Prover.from_file(path, backend)
+                self.provers[name] = Groth16Prover.from_file(
+                    path, backend, devices=devices)
         self.witgen = witgen
         self.status = "ready"
         self.proof = None
@@ -195,8 +197,9 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(zkey_paths, port: int = 9080, witgen: str | None = None,
-          backend: str = "jax"):
-    fp = FullProver(zkey_paths, witgen=witgen, backend=backend)
+          backend: str = "jax", devices=None):
+    fp = FullProver(zkey_paths, witgen=witgen, backend=backend,
+                    devices=devices)
     handler = type("Handler", (_Handler,), {"full_prover": fp})
     httpd = ThreadingHTTPServer(("0.0.0.0", port), handler)
     return fp, httpd
@@ -213,8 +216,13 @@ def main(argv=None) -> int:
                     help="witness generator command template, e.g. "
                          "'./build/{circuit} {input} {output}'")
     ap.add_argument("--backend", default="jax", choices=["jax", "oracle"])
+    ap.add_argument("--devices", default=None,
+                    help="shard proves over N chips ('all' = every visible "
+                         "device); default single-device")
     args = ap.parse_args(argv)
-    _, httpd = serve(args.zkeys, args.port, args.witgen, args.backend)
+    devices = None if args.devices in (None, "1") else args.devices
+    _, httpd = serve(args.zkeys, args.port, args.witgen, args.backend,
+                     devices=devices)
     print(f"proof server listening on :{args.port}", file=sys.stderr)
     httpd.serve_forever()
     return 0
