@@ -11,6 +11,7 @@ tests must stay on CPU.
 """
 import os
 import pathlib
+import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -27,7 +28,12 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 
 jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# Serialize only expensive compiles: XLA-CPU executable serialization
+# aborts sporadically deep into many-compile pytest processes (heap
+# corruption tripped inside executable.serialize(); observed 3x on
+# 2026-08-17, each time tens of minutes / hundreds of cache writes in).
+# Cheap compiles recompile faster than they (de)serialize anyway.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 @pytest.fixture(scope="session")

@@ -15,6 +15,7 @@ CPU test mesh exercises identical math.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +27,16 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 
+def _interpret() -> bool:
+    """ULTRAGROTH_PALLAS=interpret runs the REAL kernel bodies through the
+    Pallas interpreter on any backend — CI coverage for the kernel path
+    (blocking, padding, bool marshalling, kernel_view math) without a TPU."""
+    return os.environ.get("ULTRAGROTH_PALLAS") == "interpret"
+
+
 def _use_pallas() -> bool:
+    if _interpret():
+        return True
     try:
         return jax.default_backend() == "tpu" and pltpu is not None
     except Exception:
@@ -124,6 +134,7 @@ def fused_map(fn, block: int = 1024, name: str | None = None):
                        for a in out_avals],
             out_shape=[jax.ShapeDtypeStruct(a.shape[:-1] + (np_,), a.dtype)
                        for a in out_avals],
+            interpret=_interpret(),
         )(*leaves)
         if pad:
             out = [o[..., :n] for o in out]

@@ -108,6 +108,192 @@ def ntt(a, log_n: int, inverse: bool = False):
     return a
 
 
+# ---------------------------------------------------------------------------
+# Fast path: VMEM-resident constant-geometry (Pease) NTT kernel + recursive
+# Bailey splitting.  The per-stage XLA pipeline above costs ~20 full HBM
+# round trips at 2^20; this path does the whole butterfly network of each
+# <=2^8 factor inside ONE Pallas kernel, so a 2^20 NTT is ~5 passes total.
+#
+# Constant-geometry schedule (derived + verified in tests/test_ntt_fast.py):
+#   natural-order input; stage s (1..log M):
+#     out[2i]   = a[i] + tw_s[i] * a[i + M/2]
+#     out[2i+1] = a[i] - tw_s[i] * a[i + M/2]
+#   tw_s[i] = w^((sigma_s(i) mod 2^(s-1)) * (M >> s)) with sigma_1 = bitrev,
+#   sigma_{s+1}(2i) = sigma_s(i), sigma_{s+1}(2i+1) = sigma_s(i + M/2);
+#   final layout is bit-reversed (one take at the end restores order).
+# Every stage reads two contiguous halves and writes an interleave - pure
+# sublane-axis movement in the [L, M, lanes] kernel layout, no lane
+# shuffles (the Mosaic-hostile part of a textbook DIT).
+# ---------------------------------------------------------------------------
+
+# kernel handles factors up to 2^6: the fully unrolled butterfly network is
+# log_m stages x CIOS mont_mul; 2^8 (and not 2^6) crashes the Mosaic
+# compile helper on v5e (experiments/probe_cg2.log), so the Bailey split
+# recurses one level deeper instead.
+_CG_KERNEL_MAX_LOG = 6
+
+
+def _cg_sigmas(log_m: int):
+    m = 1 << log_m
+    sig = _bitrev_perm(log_m).astype(np.int64)
+    out = [sig]
+    for _ in range(log_m):
+        nxt = np.zeros(m, np.int64)
+        nxt[0::2] = sig[: m // 2]
+        nxt[1::2] = sig[m // 2:]
+        out.append(nxt)
+        sig = nxt
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _cg_twiddles(log_m: int, inverse: bool):
+    """[log_m, L, M/2] Montgomery twiddles for the constant-geometry net."""
+    F = fr()
+    m = 1 << log_m
+    w = root_of_unity(log_m)
+    if inverse:
+        w = pow(w, -1, FR_MODULUS)
+    sig = _cg_sigmas(log_m)
+    tables = []
+    with jax.ensure_compile_time_eval():
+        base = _powers(F, w, m)                           # w^0..w^(m-1)
+        for s in range(1, log_m + 1):
+            half = 1 << (s - 1)
+            exps = (sig[s - 1][: m // 2] % half) * (m >> s)
+            tables.append(base[:, np.asarray(exps)])
+        # np.asarray: the cached value must be concrete host data — a
+        # jnp op outside ensure_compile_time_eval would stage a tracer
+        # into the lru_cache and leak it into the NEXT trace.
+        return np.stack([np.asarray(t) for t in tables])  # [log_m, L, m/2]
+
+
+def _cg_stages(x, tws, fops, log_m: int):
+    """Shared math: x [L, M, CB] -> all log_m stages (any field-ops impl).
+
+    tws: [log_m, L, M/2] Montgomery twiddles; output in bit-reversed layout.
+    """
+    m = 1 << log_m
+    for s in range(log_m):
+        u = x[:, : m // 2, :]
+        w_in = x[:, m // 2:, :]
+        t = fops.mont_mul(w_in, tws[s][:, :, None])
+        hi = fops.add(u, t)
+        lo = fops.sub(u, t)
+        x = jnp.stack([hi, lo], axis=2).reshape(x.shape[0], m, x.shape[2])
+    return x
+
+
+class _RolledView:
+    """Adapter giving the rolled FieldOps the kernel-view method names."""
+
+    def __init__(self, F):
+        self.mont_mul = F._mont_mul
+        self.add = F._add
+        self.sub = F._sub
+
+
+def _cg_kernel_call(h, log_m: int, inverse: bool):
+    """One Pallas kernel: full cg butterfly network over axis 1 of
+    [L, M, CB]; returns bit-reversed-layout output."""
+    from .fuse import _interpret, _use_pallas, pltpu
+    import jax.experimental.pallas as pl
+    F = fr()
+    m = 1 << log_m
+    L_, M_, CB = h.shape
+    assert M_ == m
+    tws = _cg_twiddles(log_m, inverse)
+    if not _use_pallas():
+        return _cg_stages(h, tws, _RolledView(F), log_m)
+
+    kv = F.kernel_view()
+    # lane-block size: cap VMEM block near 2 MB, keep lanes >= 128
+    cb = max(128, min(CB, (1 << 19) // (m * 4)))
+    pad = (-CB) % cb
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, 0), (0, pad)))
+    grid = (CB + pad) // cb
+
+    def kernel(x_ref, tw_ref, o_ref):
+        o_ref[...] = _cg_stages(x_ref[...], tw_ref[...], kv, log_m)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((L, m, cb), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((log_m, L, m // 2), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, m, cb), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, m, CB + pad), h.dtype),
+        interpret=_interpret(),
+    )(h, tws)
+    if pad:
+        out = out[:, :, :CB]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _split_twiddles(log_m2: int, log_m1: int, inverse: bool):
+    """w_M^(j1*k2) Montgomery planes [L, M2, M1] for the Bailey split."""
+    F = fr()
+    m1, m2 = 1 << log_m1, 1 << log_m2
+    w = root_of_unity(log_m1 + log_m2)
+    if inverse:
+        w = pow(w, -1, FR_MODULUS)
+    with jax.ensure_compile_time_eval():
+        wk2 = _powers(F, w, m2)                        # [L, M2] w^(k2)
+        # powers of w^(k2) up to M1: [L, M2, M1]
+        p = F.one_mont((m2, 1))
+        cur = wk2[:, :, None]
+        while p.shape[2] < m1:
+            p = jnp.concatenate([p, F.mont_mul(p, cur)], axis=2)
+            cur = F.mont_sqr(cur)
+        return np.asarray(p[:, :, :m1])   # concrete: see _cg_twiddles
+
+
+def _ntt_cols(h, log_m: int, inverse: bool):
+    """NTT along axis 1 of [L, M, CB] Montgomery planes, natural order
+    in and out, batched over the trailing lane axis."""
+    if log_m <= _CG_KERNEL_MAX_LOG:
+        out = _cg_kernel_call(h, log_m, inverse)
+        return out[:, _bitrev_perm(log_m), :]
+    log_m1 = min(_CG_KERNEL_MAX_LOG, log_m - 1)
+    log_m2 = log_m - log_m1
+    m1, m2 = 1 << log_m1, 1 << log_m2
+    L_, M_, CB = h.shape
+    mul = kernels.fr_mont_mul()
+    # j = j2*M1 + j1: [L, M2, M1, CB] with j1 minor
+    v = h.reshape(L, m2, m1 * CB)
+    v = _ntt_cols(v, log_m2, inverse)                  # over j2 -> k2
+    tw = _split_twiddles(log_m2, log_m1, inverse)      # [L, M2, M1]
+    v = v.reshape(L, m2, m1, CB)
+    v = mul(v.reshape(L, -1),
+            jnp.broadcast_to(tw[:, :, :, None],
+                             (L, m2, m1, CB)).reshape(L, -1)
+            ).reshape(L, m2, m1, CB)
+    v = v.transpose(0, 2, 1, 3)                        # [L, M1, M2, CB]
+    v = _ntt_cols(v.reshape(L, m1, m2 * CB), log_m1, inverse)  # j1 -> k1
+    # layout [L, M1(k1), M2(k2), CB]; k = k1*M2 + k2 -> natural reshape
+    return v.reshape(L, M_, CB)
+
+
+@functools.partial(jax.jit, static_argnames=("log_n", "inverse"))
+def ntt_fast(a, log_n: int, inverse: bool = False):
+    """Same contract as ntt(); VMEM-resident kernel path for large n."""
+    F = fr()
+    n = 1 << log_n
+    assert a.shape == (L, n), a.shape
+    out = _ntt_cols(a[:, :, None], log_n, inverse)[:, :, 0]
+    if inverse:
+        scale = _n_inv_mont(log_n)[:, None] + jnp.zeros_like(out)
+        out = kernels.fr_mont_mul()(out, scale)
+    return out
+
+
 @functools.lru_cache(maxsize=None)
 def _coset_powers(log_n: int):
     """w_{2n}^i for i < n: the odd-coset shift of src/groth16.cpp:116-132."""
