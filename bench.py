@@ -1,11 +1,16 @@
 """Benchmark driver: ONE JSON line on stdout, runs on the real TPU chip.
 
-Primary metric (round 1): G1 Pippenger MSM throughput (points/s) on the
-largest size that fits the round's compile budget, plus the golden
-end-to-end prove latency as auxiliary fields.  The reference publishes no
-quantitative numbers (BASELINE.md) - vs_baseline is reported against the
-BASELINE.json north-star target of 10^6 points/s/chip until a measured
-rapidsnark number exists.
+Emits the full metric set every round (round-1 verdict items 9-10) so
+cross-round drift is visible: G1 MSM (primary), base + kernel-path NTT,
+quotient pipeline, golden end-to-end prove (with per-phase ms), G2 MSM,
+and a 2^18-constraint end-to-end prove on a device-generated zkey.  Each
+phase is guarded by a wall-clock budget: when the remaining budget is too
+small (remote-relay compiles are minutes each), later phases are skipped
+and reported as such rather than timing out the whole bench.
+
+The reference publishes no quantitative numbers (BASELINE.md) -
+vs_baseline is reported against the BASELINE.json north-star target of
+10^6 G1 MSM points/s/chip until a measured rapidsnark number exists.
 """
 from __future__ import annotations
 
@@ -18,6 +23,7 @@ import time
 import numpy as np
 
 REPO = pathlib.Path(__file__).resolve().parent
+T0 = time.perf_counter()
 
 
 def _setup_jax():
@@ -28,66 +34,99 @@ def _setup_jax():
     return jax
 
 
-def bench_msm(jax, log_n: int, c: int, iters: int = 3) -> float:
-    """points/s for a G1 MSM of 2^log_n points (golden H-points tiled)."""
-    from ultragroth_tpu.io.zkey import parse_groth16_zkey
-    from ultragroth_tpu.ops import limbs as lb
-    from ultragroth_tpu.ops import msm as dmsm
-    from ultragroth_tpu.protocol.prover import g1_section_to_planes
+def _sync(x):
+    """True device sync: block_until_ready does not sync through the axon
+    relay; force a tiny host readback instead."""
+    leaf = __import__("jax").tree_util.tree_leaves(x)[0]
+    return np.asarray(leaf.reshape(-1)[:2])
 
+
+def _tiled_g1_points(log_n: int):
+    """Golden H-points (1024) tiled to 2^log_n plus random 254-bit scalars."""
+    from ultragroth_tpu.io.zkey import parse_groth16_zkey
+    from ultragroth_tpu.protocol.prover import g1_section_to_planes
     zk = parse_groth16_zkey(
         open("/root/reference/testdata/circuit_final.zkey", "rb").read())
-    x, y, inf = g1_section_to_planes(zk.points_h)     # 1024 points
+    x, y, inf = g1_section_to_planes(zk.points_h)
     n = 1 << log_n
     reps = n // x.shape[1]
-    x = np.tile(x, (1, reps))
-    y = np.tile(y, (1, reps))
+    x, y = np.tile(x, (1, reps)), np.tile(y, (1, reps))
     inf = np.tile(inf, reps)
     rng = np.random.default_rng(7)
     scalars = rng.integers(0, 1 << 16, size=(16, n), dtype=np.uint32)
     scalars[15] &= 0x3FFF  # keep < r
+    return x, y, inf, scalars, zk
 
-    import numpy as _np
 
-    def _sync(pt):
-        # block_until_ready does not truly sync through the axon relay;
-        # force a tiny host readback instead.
-        return _np.asarray(jax.tree_util.tree_leaves(pt)[0][:2])
-
-    out = dmsm.msm_g1(x, y, inf, scalars, c=c)
-    _sync(out)                          # compile + warmup
+def bench_msm_g1(jax, log_n: int, c: int, iters: int = 3):
+    from ultragroth_tpu.ops import msm as dmsm
+    x, y, inf, scalars, _ = _tiled_g1_points(log_n)
+    n = 1 << log_n
+    _sync(dmsm.msm_g1(x, y, inf, scalars, c=c))       # compile + warmup
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = dmsm.msm_g1(x, y, inf, scalars, c=c)
-        _sync(out)
+        _sync(dmsm.msm_g1(x, y, inf, scalars, c=c))
     dt = (time.perf_counter() - t0) / iters
     return n / dt, dt
 
 
-def bench_ntt(jax, log_n: int = 20) -> float:
-    """Fr NTT latency (s) at 2^log_n, steady-state."""
-    import numpy as np
-    from ultragroth_tpu.ops import ntt as dntt
+def bench_msm_g2(jax, log_n: int, c: int, iters: int = 2):
+    """G2 MSM points/s (B2-section points tiled to 2^log_n)."""
+    from ultragroth_tpu.io.zkey import parse_groth16_zkey
+    from ultragroth_tpu.ops import msm as dmsm
+    from ultragroth_tpu.protocol.prover import g2_section_to_planes
+    zk = parse_groth16_zkey(
+        open("/root/reference/testdata/circuit_final.zkey", "rb").read())
+    x, y, inf = g2_section_to_planes(zk.points_b2)    # 1003 points
+    n = 1 << log_n
+    reps = -(-n // x[0].shape[1])
+    x = tuple(np.tile(c_, (1, reps))[:, :n] for c_ in x)
+    y = tuple(np.tile(c_, (1, reps))[:, :n] for c_ in y)
+    inf = np.tile(inf, reps)[:n]
+    rng = np.random.default_rng(11)
+    scalars = rng.integers(0, 1 << 16, size=(16, n), dtype=np.uint32)
+    scalars[15] &= 0x3FFF
+    _sync(dmsm.msm_g2(x, y, inf, scalars, c=c))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _sync(dmsm.msm_g2(x, y, inf, scalars, c=c))
+    dt = (time.perf_counter() - t0) / iters
+    return n / dt, dt
 
-    def _sync(x):
-        return np.asarray(x[0, :2])
 
-    rng = np.random.default_rng(3)
+def _rand_fr_planes(log_n: int, seed: int = 3):
+    rng = np.random.default_rng(seed)
     a = rng.integers(0, 1 << 16, size=(16, 1 << log_n), dtype=np.uint32)
-    out = dntt.ntt(a, log_n)
+    a[15] &= 0x3FFF
+    return a
+
+
+def bench_ntt(jax, log_n: int = 20, fast: bool = False) -> float:
+    from ultragroth_tpu.ops import ntt as dntt
+    fn = dntt.ntt_fast if fast else dntt.ntt
+    a = _rand_fr_planes(log_n)
+    out = fn(a, log_n)
     _sync(out)
     t0 = time.perf_counter()
-    out = dntt.ntt(out, log_n)
-    _sync(out)
+    _sync(fn(out, log_n))
     return time.perf_counter() - t0
 
 
-def bench_golden_prove(jax) -> float:
-    """End-to-end golden prove latency (s), zkey resident, steady-state."""
+def bench_quotient(jax, log_n: int = 20) -> float:
+    from ultragroth_tpu.ops import ntt as dntt
+    a = _rand_fr_planes(log_n, 5)
+    b = _rand_fr_planes(log_n, 6)
+    _sync(dntt.quotient_scalars(a, b, log_n))
+    t0 = time.perf_counter()
+    _sync(dntt.quotient_scalars(a, b, log_n))
+    return time.perf_counter() - t0
+
+
+def bench_golden_prove(jax):
+    """Steady-state golden prove latency (s) + per-phase breakdown."""
     from ultragroth_tpu.io.zkey import parse_groth16_zkey
     from ultragroth_tpu.io.wtns import parse_wtns
     from ultragroth_tpu.protocol.prover import JaxGroth16Prover
-
     zk = parse_groth16_zkey(
         open("/root/reference/testdata/circuit_final.zkey", "rb").read())
     wt = parse_wtns(open("/root/reference/testdata/witness.wtns", "rb").read())
@@ -95,43 +134,127 @@ def bench_golden_prove(jax) -> float:
     prover.prove(wt.values)             # compile + warmup
     t0 = time.perf_counter()
     prover.prove(wt.values)
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    # separate traced prove for the per-phase breakdown (tracing syncs
+    # between phases, which would perturb the timed run above)
+    import os
+    os.environ["ULTRAGROTH_TRACE"] = "1"
+    try:
+        prover.prove(wt.values)
+    finally:
+        del os.environ["ULTRAGROTH_TRACE"]
+    return dt, prover.last_phase_ms
+
+
+def bench_e2e(jax, log_constraints: int):
+    """Device-side setup of a 2^log_constraints square-chain circuit, then
+    steady-state prove (round-1 verdict item 3: nothing beyond 2^14 had
+    ever been proven)."""
+    from ultragroth_tpu.io.zkey import parse_groth16_zkey
+    from ultragroth_tpu.testkit.circuits import square_chain_circuit
+    from ultragroth_tpu.testkit.dsetup import groth16_setup_fast
+    from ultragroth_tpu.protocol.prover import JaxGroth16Prover
+    from ultragroth_tpu.protocol import groth16 as g16
+    from ultragroth_tpu.io.fieldenc import array_to_ints
+    t0 = time.perf_counter()
+    r1cs, wtns = square_chain_circuit((1 << log_constraints) - 8, seed=5)
+    setup = groth16_setup_fast(r1cs, seed=6)
+    setup_s = time.perf_counter() - t0
+    zk = parse_groth16_zkey(np.frombuffer(setup.zkey_bytes, np.uint8))
+    prover = JaxGroth16Prover(zk)
+    proof = prover.prove(wtns)          # compile + warmup
+    vk = g16.VerificationKey.from_json_dict(setup.vk_json)
+    ok = g16.verify(proof, array_to_ints(wtns[1:zk.n_public + 1]), vk)
+    t1 = time.perf_counter()
+    prover.prove(wtns)
+    dt = time.perf_counter() - t1
+    import os
+    os.environ["ULTRAGROTH_TRACE"] = "1"   # traced extra prove: phase split
+    try:
+        prover.prove(wtns)
+    finally:
+        del os.environ["ULTRAGROTH_TRACE"]
+    return dt, setup_s, bool(ok), prover.last_phase_ms
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-n", type=int, default=18)
     ap.add_argument("--window", type=int, default=13)
-    ap.add_argument("--skip-ntt", action="store_true")
-    ap.add_argument("--with-prove", action="store_true",
-                    help="also time the golden end-to-end prove (adds several minutes of one-time G2-MSM compile on a cold cache)")
+    ap.add_argument("--log-e2e", type=int, default=18)
+    ap.add_argument("--budget-s", type=float, default=7200,
+                    help="skip later phases when elapsed wall time plus the "
+                         "phase's expected compile cost would exceed this")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="subset of phases: msm ntt quot prove g2 e2e")
     args = ap.parse_args()
 
     jax = _setup_jax()
-    pps, msm_dt = bench_msm(jax, args.log_n, args.window)
-    extra = {}
-    if not args.skip_ntt:
+    out: dict = {"device": str(jax.devices()[0])}
+
+    # (name, expected cost incl. cold compile, fn filling `out`)
+    def p_msm():
+        pps, dt = bench_msm_g1(jax, args.log_n, args.window)
+        out["value"] = round(pps, 1)
+        out["msm_latency_s"] = round(dt, 4)
+
+    def p_ntt():
         try:
-            ntt_dt = bench_ntt(jax)
-            extra["ntt_2^20_ms"] = round(ntt_dt * 1000, 1)
-            extra["ntt_2^20_points_per_sec"] = round((1 << 20) / ntt_dt, 1)
-        except Exception as e:  # noqa: BLE001
-            extra["ntt_error"] = str(e)[:200]
-    if args.with_prove:
+            dt = bench_ntt(jax, 20, fast=True)
+            out["ntt_path"] = "fast"
+        except Exception as e:  # noqa: BLE001 - kernel path may not lower
+            out["ntt_fast_error"] = str(e)[:160]
+            dt = bench_ntt(jax, 20, fast=False)
+            out["ntt_path"] = "base"
+        out["ntt_2^20_ms"] = round(dt * 1000, 1)
+        out["ntt_2^20_points_per_sec"] = round((1 << 20) / dt, 1)
+
+    def p_quot():
+        out["quotient_2^20_ms"] = round(bench_quotient(jax, 20) * 1000, 1)
+
+    def p_prove():
+        dt, phases = bench_golden_prove(jax)
+        out["golden_prove_s"] = round(dt, 4)
+        if phases:
+            out["golden_phases_ms"] = {k: round(v, 1)
+                                       for k, v in phases.items()}
+
+    def p_g2():
+        pps, dt = bench_msm_g2(jax, 14, 13)
+        out["g2_msm_2^14_points_per_sec"] = round(pps, 1)
+        out["g2_msm_latency_s"] = round(dt, 4)
+
+    def p_e2e():
+        dt, setup_s, ok, phases = bench_e2e(jax, args.log_e2e)
+        out[f"e2e_2^{args.log_e2e}_s"] = round(dt, 3)
+        out[f"e2e_2^{args.log_e2e}_setup_s"] = round(setup_s, 1)
+        out[f"e2e_2^{args.log_e2e}_verified"] = ok
+        if phases:
+            out[f"e2e_phases_ms"] = {k: round(v, 1)
+                                     for k, v in phases.items()}
+
+    phases = [("msm", 1500, p_msm), ("ntt", 300, p_ntt),
+              ("quot", 400, p_quot), ("prove", 900, p_prove),
+              ("g2", 1800, p_g2), ("e2e", 1800, p_e2e)]
+    for name, est_s, fn in phases:
+        if args.only is not None and name not in args.only:
+            continue
+        if time.perf_counter() - T0 + est_s > args.budget_s:
+            out[f"{name}_skipped"] = "budget"
+            continue
         try:
-            extra["golden_prove_s"] = round(bench_golden_prove(jax), 4)
+            fn()
         except Exception as e:  # noqa: BLE001
-            extra["golden_prove_error"] = str(e)[:200]
+            out[f"{name}_error"] = str(e)[:200]
 
     target = 1_000_000.0  # BASELINE.json north-star points/s/chip
+    value = out.pop("value", 0.0)
     print(json.dumps({
         "metric": f"g1_msm_2^{args.log_n}_points_per_sec",
-        "value": round(pps, 1),
+        "value": value,
         "unit": "points/s",
-        "vs_baseline": round(pps / target, 4),
-        "msm_latency_s": round(msm_dt, 4),
-        "device": str(jax.devices()[0]),
-        **extra,
+        "vs_baseline": round(value / target, 4),
+        **out,
     }))
 
 
