@@ -98,3 +98,19 @@ def test_msm_all_equal_digits():
     out = dmsm.msm_g1(x, y, inf, sc, c=c)
     got = g1_affine_from_device(*jax.jit(dmsm.g1_ops().to_affine)(out))[0]
     assert got == oc.g1_msm(pts, scalars)
+
+
+def test_msm_two_phase_extreme_skew():
+    """c=12 -> 45056 lanes -> the TWO-PHASE accumulation path; all-equal
+    scalars put every point in one bucket per window, so nearly all the
+    work drains through phase B's compacted heavy-lane loop, and the
+    repeated point exercises the flagged complete-madd fallback."""
+    n, c = 60, 12        # pads to 64: shares the (33,12) test's compile
+    pts = [oc.g1_mul(oc.G1, i + 1) for i in range(n - 1)]
+    pts.append(pts[0])                     # duplicate -> doubling flag
+    scalars = [(1 << 200) + 12345] * n
+    x, y, inf = g1_batch_to_planes(pts)
+    sc = lb.ints_to_planes(scalars)
+    out = dmsm.msm_g1(x, y, inf, sc, c=c)
+    got = g1_affine_from_device(*jax.jit(dmsm.g1_ops().to_affine)(out))[0]
+    assert got == oc.g1_msm(pts, scalars)

@@ -88,6 +88,28 @@ acc3 = kernels.curve_add_where("g1")(acc2, acc1, ok)
 out["g1_chain"] = sum(int(np.asarray(l).sum(dtype=np.uint64))
                       for l in jax.tree_util.tree_leaves(acc3))
 
+# signed madd (the windowed-NAF MSM kernel): in-kernel y-negation
+qneg = np.zeros(M, bool)
+qneg[::3] = True
+acc4 = kernels.curve_madd_signed("g1")(acc3, qx, qy, qinf, qneg)
+out["g1_signed"] = sum(int(np.asarray(l).sum(dtype=np.uint64))
+                       for l in jax.tree_util.tree_leaves(acc4))
+
+# fast incomplete madd + exception flags (the MSM bucket-loop common case)
+valid = np.ones(M, bool)
+valid[::7] = False
+acc5, flags = kernels.curve_madd_fast("g1")(acc4, qy, qx, qneg, valid)
+out["g1_fast"] = (sum(int(np.asarray(l).sum(dtype=np.uint64))
+                      for l in jax.tree_util.tree_leaves(acc5))
+                  + int(np.asarray(flags).sum(dtype=np.uint64)))
+
+# in-kernel masked-doubling chain (the MSM window-combine scaler)
+W = 20
+tr = jax.tree_util.tree_map(lambda l: l[..., :W], acc5)
+acc6 = kernels.curve_horner_scale("g1", 3, W)(*tr)
+out["g1_horner"] = sum(int(np.asarray(l).sum(dtype=np.uint64))
+                       for l in jax.tree_util.tree_leaves(acc6))
+
 print(json.dumps({k: int(v) for k, v in out.items()}))
 """
 

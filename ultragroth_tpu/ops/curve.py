@@ -143,6 +143,29 @@ class CurveOps:
         out = self.select(p_inf, q_xyzz, out)
         return out
 
+    def madd_fast(self, p, qx, qy):
+        """INCOMPLETE mixed add (madd-2008-s, 10 muls): assumes P != inf,
+        Q != inf, P != +-Q.  Returns (P+Q, bad) where `bad` flags lanes
+        violating the assumptions (x1 == u2, i.e. doubling/cancellation,
+        or P at infinity) — the caller must redo those via madd_unified.
+        Q at infinity must be excluded upstream (the MSM drops infinity
+        table points at the digit stage).  ~25% cheaper than the complete
+        form: no affine_to_xyzz constants, no doubling branch, one output
+        select instead of four."""
+        F = self.F
+        x1, y1, zz1, zzz1 = p
+        u2, s2 = self._mul_many([(qx, zz1), (qy, zzz1)])
+        pp_ = F.sub(u2, x1)
+        r_ = F.sub(s2, y1)
+        bad = F.is_zero(pp_) | F.is_zero(zz1)
+        pp, rr = self._mul_many([(pp_, pp_), (r_, r_)])
+        ppp, q_, zz3 = self._mul_many([(pp_, pp), (x1, pp), (zz1, pp)])
+        x3 = F.sub(F.sub(rr, ppp), F.add(q_, q_))
+        t1, t2, zzz3 = self._mul_many(
+            [(r_, F.sub(q_, x3)), (y1, ppp), (zzz1, ppp)])
+        y3 = F.sub(t1, t2)
+        return (x3, y3, zz3, zzz3), bad
+
     def add_unified(self, p, q):
         """Complete xyzz + xyzz add, 4 stacked passes + unified dbl."""
         F = self.F

@@ -5,30 +5,41 @@ Re-design of the ffiasm bucket MSM (behavioral contract at
 raw little-endian scalars).  The CPU reference chases pointers into
 mutex-striped buckets; here everything is data-parallel and scatter-free:
 
-  1. window digits  - scalars are 16-bit limb planes, so a 16-bit window's
-                      digits ARE one limb plane (other widths: shift/mask);
-  2. bucket accumulation - ALL-BUCKETS-AND-WINDOWS-PARALLEL: argsort point
-                      order by digit (bincount/cumsum for bucket offsets),
-                      then while t < max_bucket_size: every (window,
-                      bucket) lane adds its t-th point via ONE fused
-                      complete-madd kernel of width W * 2^c — the whole
-                      MSM is ~N/2^c kernel steps, not ~W * N/2^c (the
-                      per-step fixed cost dominated the arithmetic on
-                      v5e).  Skewed windows (the top bits of a
-                      254-bit scalar take < 2^c distinct values, so naive
-                      per-bucket counts explode) are rebalanced by STATIC
-                      sub-accumulator splitting: bucket b gets S lanes,
-                      lane (b, j) accumulates points j, j+S, ... of b, and
-                      the S sub-sums fold in log2(S) pairwise passes - the
-                      loop trip count stays ~N/2^c for every window;
-  3. bucket reduction - sum_b b*B_b via BINARY DECOMPOSITION: each level
-                      pairwise-folds the bucket array (S(V) = 2*S(even+odd)
-                      + sum(odd)) and banks the odd half; banked arrays all
-                      share the current width, so every level is ONE fused
-                      add over [windows x (level+1) x width/2] lanes and the
-                      total work is ~2*2^c adds per window (vs 2^c*c for a
-                      Hillis-Steele suffix scan), finished by a log2(2^c)-
-                      step Horner on [W]-wide lanes;
+  1. signed digits  - windowed-NAF recode: digit d (+running carry) maps
+                      to +/-bucket with bucket <= 2^(c-1), HALVING the
+                      bucket count (same trick as ZPrize MSMs; negating an
+                      affine point is a masked y := p - y inside the madd
+                      kernel).  Magnitude distribution is near-uniform, so
+                      per-bucket count slack (max/avg, the idle-lane factor
+                      of the unified loop below) also drops;
+  2. bucket accumulation - ALL-BUCKETS-AND-WINDOWS-PARALLEL: sort point
+                      order by bucket (bincount/cumsum for bucket offsets),
+                      then every (window, bucket) lane adds its t-th point
+                      per step via ONE fused INCOMPLETE signed-madd kernel
+                      of width W * 2^(c-1), with flagged lanes (dup point/
+                      cancellation) redone through the complete kernel
+                      under a rare lax.cond — the whole MSM is ~2N/2^c
+                      kernel steps (the per-step fixed cost dominated the
+                      arithmetic on v5e).  TWO-PHASE: all lanes run to the
+                      (lanes/8)-th largest count, then just the heavy
+                      lanes drain their tails at 1/8 width — lane-steps
+                      ~= avg count, not max count (Poisson slack gone).
+                      Skewed windows (the top bits of a 254-bit scalar
+                      take few distinct values, so naive per-bucket counts
+                      explode) are rebalanced by STATIC sub-accumulator
+                      splitting: bucket b gets S lanes, lane (b, j)
+                      accumulates points j, j+S, ... of b, and the S
+                      sub-sums fold in log2(S) pairwise passes - the loop
+                      trip count stays ~2N/2^c for every window;
+  3. bucket reduction - sum_i (i+1)*B_i via BINARY DECOMPOSITION: each
+                      level pairwise-folds the bucket array
+                      (S'(V) = 2*S'(even+odd) - sum(even)) and banks the
+                      NEGATED even half; banked arrays all share the
+                      current width, so every level is ONE fused add over
+                      [windows x (level+1) x width/2] lanes and the total
+                      work is ~2*2^(c-1) adds per window (vs 2^c*c for a
+                      Hillis-Steele suffix scan), finished by a
+                      log2-width-step Horner on [W]-wide lanes;
   4. window combine - Horner with c doublings per window (lax.scan), every
                       doubling a fused add_where(t, t, True) kernel step.
 
@@ -53,6 +64,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..constants import FR_MODULUS
 from .curve import CurveOps, g1_ops, g2_ops
 from . import kernels
 from .limbs import LIMB_BITS, NLIMBS
@@ -78,30 +90,62 @@ def _window_digits(scalars, w: int, c: int):
     return d & jnp.uint32((1 << c) - 1)
 
 
+def _signed_digits(scalars, c: int, n_windows: int):
+    """Signed window recode (windowed NAF): per window,
+    d + carry_in = d' + 2^c * carry_out with d' in [-(2^(c-1) - 1),
+    2^(c-1)]; returns (bucket = |d'|, neg = d' < 0), both [W, N].
+
+    The top window never carries out: the caller guarantees it holds
+    < c bits (n_windows is bumped when SCALAR_BITS % c == 0), so
+    d + carry <= 2^(c-1) there and the `> half` test stays false."""
+    half = 1 << (c - 1)
+    digits = jnp.stack([_window_digits(scalars, w, c)
+                        for w in range(n_windows)]).astype(jnp.int32)
+
+    def body(carry, d):
+        d = d + carry
+        neg = d > half
+        bucket = jnp.where(neg, (1 << c) - d, d)
+        return neg.astype(jnp.int32), (bucket, neg)
+
+    _, (buckets, negs) = jax.lax.scan(
+        body, jnp.zeros(digits.shape[1:], jnp.int32), digits)
+    return buckets, negs
+
+
 def _split_factor(w: int, c: int) -> int:
-    """Static sub-accumulator split for window w: scalars < 2^SCALAR_BITS,
-    so window w has at most 2^max(0, SCALAR_BITS - c*w) distinct values;
-    give each value 2^c / distinct lanes so per-lane counts stay ~N/2^c."""
-    hi_bits = SCALAR_BITS - c * w
-    if hi_bits >= c:
+    """Static sub-accumulator split for window w.
+
+    Scalars are canonical Fr (< r: the wtns/H-scalar contract), so window
+    w's residual value is <= top = (r-1) >> (c*w) and its signed bucket
+    index is <= top (bucket <= top + 1 with the recode carry; never
+    negative when top + 1 <= 2^(c-1)).  Give each index
+    2^(c-1) / next_pow2(top+2) lanes so per-lane counts stay ~2N/2^c —
+    e.g. c=13: the top window takes only 49 distinct values (r's leading
+    bits), so each gets 64 sub-lanes.  Scalars >= r would overflow the
+    representable index range and silently drop points — the canonical-
+    form contract is load-bearing."""
+    n_buckets = 1 << (c - 1)
+    top = (FR_MODULUS - 1) >> (c * w)
+    if top + 1 >= n_buckets:
         return 1
-    distinct = 1 << max(0, hi_bits)
-    return max(1, (1 << c) // distinct)
+    return max(1, n_buckets // (1 << (top + 1).bit_length()))
 
 
-def _pack_points_planes(x, y, inf):
-    """Stack all coordinate planes + infinity flags into ONE plane-major
-    array [K*L + 1, N]; the bucket loop's per-step fetch is then a single
-    axis-1 gather feeding the madd kernel without any transpose."""
+def _pack_points_planes(x, y):
+    """Stack all coordinate planes into ONE plane-major array [K*L, N];
+    the bucket loop's per-step fetch is then a single axis-1 gather
+    feeding the madd kernel without any transpose.  Infinity table points
+    are excluded at the digit stage (sort sentinel), so no flag row rides
+    along."""
     leaves = jax.tree_util.tree_leaves(x) + jax.tree_util.tree_leaves(y)
-    rows = list(leaves) + [inf.astype(jnp.uint32)[None, :]]
-    rows = [r if r.ndim == 2 else r[None] for r in rows]
+    rows = [r if r.ndim == 2 else r[None] for r in leaves]
     return jnp.concatenate(
         [r.reshape(-1, r.shape[-1]) for r in rows], axis=0)
 
 
 def _unpack_cols(cols, x_like, y_like):
-    """[K*L+1, B] gathered columns -> (x planes, y planes, inf) batch."""
+    """[K*L, B] gathered columns -> (x planes, y planes) batch."""
     xs = jax.tree_util.tree_leaves(x_like)
     nx = len(xs)
     out_leaves = [cols[k * L:(k + 1) * L] for k in range(2 * nx)]
@@ -109,62 +153,111 @@ def _unpack_cols(cols, x_like, y_like):
         jax.tree_util.tree_structure(x_like), out_leaves[:nx])
     y = jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(y_like), out_leaves[nx:])
-    inf = cols[2 * nx * L] != 0
-    return x, y, inf
+    return x, y
 
 
-def _bucket_accumulate_all(ops: CurveOps, madd, packed, x_like, y_like,
-                           orders, counts, c: int, splits):
-    """Bucket accumulation for ALL windows in ONE while_loop.
+def _bucket_accumulate_all(ops: CurveOps, group: str, packed, x_like,
+                           y_like, orders, counts, c: int, splits):
+    """Bucket accumulation for ALL windows, two-phase.
 
-    orders/counts: [W, N] digit-argsorted point order and [W, 2^c] per-digit
-    counts.  splits: static per-window sub-accumulator factors
-    (_split_factor) — lane (w, b*S_w + j) accumulates points j, j+S_w, ...
-    of window w's bucket b, so skewed top windows don't stretch the trip
-    count.  Every window has exactly 2^c lanes regardless of its split, so
-    the whole MSM runs max_count fused madd steps of width W * 2^c — one
-    kernel launch and ONE plane-gather per step instead of one per window
-    (the per-step fixed cost, not the arithmetic, dominated the per-window
-    variant: experiments/measure_r2e.log).
+    orders: [W, N] bucket-argsorted point order, each entry encoded
+    pid * 2 + sign (the sign bit rides along so the loop body does ONE
+    int gather per step).  counts: [W, 2^(c-1)] per-bucket-index counts
+    (index i = bucket i+1; bucket-0 / padding / infinity points are
+    excluded upstream via the sort sentinel).  splits: static per-window
+    sub-accumulator factors (_split_factor) — lane (w, b*S_w + j)
+    accumulates points j, j+S_w, ... of window w's bucket-index b, so
+    skewed top windows don't stretch the trip count.
 
-    Returns raw xyzz sub-lane accumulators, leaves [L, W, 2^c]
+    Step shape: every step is ONE plane-gather + ONE fused INCOMPLETE
+    signed madd (curve.madd_fast, ~25% cheaper than the complete form);
+    lanes where incompleteness breaks (dup point / cancellation) raise a
+    flag and that step is redone through the complete kernel under a
+    lax.cond — rare, so the common path never pays for the branch set.
+    Lane 0 of each accumulator is seeded with its first point by one
+    complete madd, so the in-loop formula never sees an infinity
+    accumulator on the common path.
+
+    Two phases kill the Poisson bucket-count slack (max/avg ~1.5x):
+    phase A runs every lane to the kb-th largest count (kb = lanes/8),
+    then phase B gathers just the kb heaviest lanes and drains their
+    tails at 1/8 width, scattering the partial sums back with one
+    complete add.  Total lane-steps ~= avg_count * lanes instead of
+    max_count * lanes (experiments/measure_r3.log).
+
+    Returns raw xyzz sub-lane accumulators, leaves [L, W, 2^(c-1)]
     (sub-lane folding is per-split-group, done by the caller).
     """
-    n_buckets = 1 << c
+    madd_fast = kernels.curve_madd_fast(group)
+    madd_complete = kernels.curve_madd_signed(group)
+    n_buckets = 1 << (c - 1)
     n_windows, n = orders.shape
+    lanes = n_windows * n_buckets
     offsets = jnp.concatenate(
         [jnp.zeros((n_windows, 1), jnp.int32),
          jnp.cumsum(counts, axis=1)[:, :-1].astype(jnp.int32)], axis=1)
 
     lane = jnp.arange(n_buckets, dtype=jnp.int32)[None, :]
     split_w = jnp.asarray(splits, jnp.int32)[:, None]        # [W, 1]
-    d = lane // split_w                                      # [W, 2^c]
+    d = lane // split_w                                      # [W, 2^(c-1)]
     j = lane % split_w
     base = jnp.take_along_axis(offsets, d, axis=1) + j
-    # bucket 0 contributes nothing (digit 0) and collects every zero-scalar
-    # / padding point - accumulating it would stretch the loop trip count
     cnt = jnp.take_along_axis(counts.astype(jnp.int32), d, axis=1)
     cnt = jnp.maximum(cnt - j + split_w - 1, 0) // split_w
-    cnt = jnp.where(d == 0, 0, cnt)
     max_count = jnp.max(cnt)
 
     w_off = (jnp.arange(n_windows, dtype=jnp.int32) * n)[:, None]
     orders_f = orders.reshape(-1)
-    acc0 = ops.inf_xyzz((n_windows * n_buckets,))
+    gidx0 = (w_off + base).reshape(-1)        # flat orders_f index at t=0
+    stride_f = jnp.broadcast_to(split_w, base.shape).reshape(-1)
+    cnt_f = cnt.reshape(-1)
 
-    def cond(st):
-        return st[0] < max_count
+    def fetch(pos_f, valid_f):
+        ent = orders_f[jnp.where(valid_f, pos_f, 0)]
+        gx, gy = _unpack_cols(packed[:, ent >> 1], x_like, y_like)
+        return gx, gy, (ent & 1) != 0
 
-    def body(st):
-        t, acc = st
-        pos = base + t * split_w
-        valid = t < cnt
-        pidx = orders_f[(w_off + jnp.where(valid, pos, 0)).reshape(-1)]
-        gx, gy, ginf = _unpack_cols(packed[:, pidx], x_like, y_like)
-        ginf = ginf | ~valid.reshape(-1)
-        return (t + 1, madd(acc, gx, gy, ginf))
+    def seed(gidx, stride, cnts, t0, width):
+        """Accumulators at step t0: one complete madd from infinity."""
+        valid = t0 < cnts
+        gx, gy, gneg = fetch(gidx + t0 * stride, valid)
+        return madd_complete(ops.inf_xyzz((width,)), gx, gy, ~valid, gneg)
 
-    _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
+    def drain(acc, gidx, stride, cnts, t_from, t_to):
+        """Fast madd steps t_from..t_to-1 with flagged complete redo."""
+        def body(st):
+            t, a = st
+            valid = t < cnts
+            gx, gy, gneg = fetch(gidx + t * stride, valid)
+            out, flag = madd_fast(a, gx, gy, gneg, valid)
+            a = jax.lax.cond(
+                jnp.any(flag),
+                lambda: madd_complete(a, gx, gy, ~valid, gneg),
+                lambda: out)
+            return (t + 1, a)
+
+        return jax.lax.while_loop(lambda st: st[0] < t_to, body,
+                                  (t_from, acc))[1]
+
+    acc = seed(gidx0, stride_f, cnt_f, jnp.int32(0), lanes)
+    two_phase = lanes > 8192
+    end_a = (jnp.minimum(jnp.maximum(jnp.sort(cnt_f)[lanes - lanes // 8],
+                                     1), max_count)
+             if two_phase else max_count)
+    acc = drain(acc, gidx0, stride_f, cnt_f, jnp.int32(1), end_a)
+
+    if two_phase:
+        kb = lanes // 8
+        _, ids = jax.lax.top_k(cnt_f, kb)
+        gidx_b, stride_b, cnt_b = gidx0[ids], stride_f[ids], cnt_f[ids]
+        acc_b = seed(gidx_b, stride_b, cnt_b, end_a, kb)
+        acc_b = drain(acc_b, gidx_b, stride_b, cnt_b, end_a + 1, max_count)
+        extra = _tree_map(
+            lambda full, part: full.at[..., ids].set(part),
+            ops.inf_xyzz((lanes,)), acc_b)
+        add_where = kernels.curve_add_where(group)
+        acc = add_where(acc, extra, jnp.ones((lanes,), bool))
+
     return _tree_map(
         lambda t: t.reshape(t.shape[:-1] + (n_windows, n_buckets)), acc)
 
@@ -223,32 +316,36 @@ def _level_fold(add_where, arrays, w: int, u: int):
 
 
 def _weighted_totals(ops: CurveOps, add_where, buckets, n_buckets: int):
-    """sum_{b>=1} b * B_b per window, by binary decomposition.
+    """sum_i (i+1) * B_i per window, by binary decomposition.
 
-    buckets: xyzz leaves [L, Wg, 2^c']; returns totals leaves [L, Wg].  Identity: S(V) = 2*S(E + O) + sum(O)
-    with E/O the even/odd-indexed halves; the banked odd halves are folded
-    alongside the main array (all widths agree per level), so the whole
-    reduction is log2(2^c') fused adds of geometrically shrinking width
-    (~2 * 2^c' lane-adds per window total) plus a [Wg]-wide Horner.
+    buckets: xyzz leaves [L, Wg, m]; returns totals leaves [L, Wg].
+    Index i holds bucket i+1 of the signed-digit MSM (bucket 0 never
+    enters the accumulator), hence the +1 weights.  Identity:
+    S'(V) = 2 * S'(E + O) - sum(E), S'([v]) = v, with E/O the even/odd-
+    indexed halves; the banked NEGATED even halves are folded alongside
+    the main array (all widths agree per level), so the whole reduction
+    is log2(m) fused adds of geometrically shrinking width (~2m
+    lane-adds per window total) plus a [Wg]-wide Horner:
+    S' = 2^k * cur_k + sum_l 2^l * sum(-E_l).
     """
     wg = jax.tree_util.tree_leaves(buckets)[0].shape[1]
     cur = buckets                   # leaves [L, Wg, m]
-    pend = []                       # pend[l]: weight 2^l, plain-sum banked
+    pend = []                       # pend[l]: weight 2^l, neg-even banked
     u = n_buckets
     while u > 1:
-        odd = _tree_map(lambda t: t[..., 1::2], cur)
+        ev_neg = ops.neg(_tree_map(lambda t: t[..., 0::2], cur))
         folded = _level_fold(add_where, [cur] + pend, wg, u)
         cur, pend = folded[0], folded[1:]
-        pend.append(odd)
+        pend.append(ev_neg)
         u //= 2
-    # all pend widths are 1; Horner over the 2^l weights, [Wg]-wide lanes.
+    # all widths are 1 now; Horner over the 2^l weights, [Wg]-wide lanes.
     # dbl(t) == add_where(t, t, True): the complete unified add takes its
     # cond-gated doubling branch, and the FUSED kernel replaces what was a
     # ~2 * log2(m) chain of rolled tiny-op graphs per group.
     sq = lambda p: _tree_map(lambda t: t[..., 0], p)
     k = len(pend)
-    if k == 1:
-        return sq(pend[0])
+    if k == 0:
+        return sq(cur)
     # fori_loop so the 2 fused adds are traced ONCE, not once per level
     # (each extra call site is another minutes-long Mosaic instance
     # compile through the relay, and a fresh XLA-CPU graph on fallback)
@@ -256,30 +353,43 @@ def _weighted_totals(ops: CurveOps, add_where, buckets, n_buckets: int):
                         *pend)                        # leaves [k, L, Wg]
 
     def tail(i, total):
-        lvl = _tree_map(lambda t: t[k - 2 - i], stacked)
+        lvl = _tree_map(lambda t: t[k - 1 - i], stacked)
         return _add_all(add_where, _add_all(add_where, total, total), lvl)
 
-    return jax.lax.fori_loop(0, k - 1, tail, sq(pend[-1]))
+    return jax.lax.fori_loop(0, k, tail, sq(cur))
 
 
 def _msm(ops: CurveOps, group: str, x, y, inf, scalars, c: int,
          n_windows: int):
-    n_buckets = 1 << c
-    madd = kernels.curve_madd_valid(group)
+    if SCALAR_BITS % c == 0:
+        n_windows += 1      # spare window absorbs the signed-recode carry
+    n_buckets = 1 << (c - 1)
     add_where = kernels.curve_add_where(group)
-    packed = _pack_points_planes(x, y, inf)
+    packed = _pack_points_planes(x, y)
     splits = [_split_factor(w, c) for w in range(n_windows)]
 
-    digits = jnp.stack([_window_digits(scalars, w, c)
-                        for w in range(n_windows)]).astype(jnp.int32)
+    buckets, negs = _signed_digits(scalars, c, n_windows)
+    # bucket b >= 1 -> index b-1 (weight b = index+1 in the reduction);
+    # bucket 0 (zero digit / padding) and INFINITY table points ->
+    # sentinel, sorts last, excluded from counts so they never stretch
+    # the accumulation trip count (and the bucket loop never needs a
+    # per-point infinity flag)
+    idx = jnp.where(buckets > 0, buckets - 1, n_buckets)
+    idx = jnp.where(jnp.asarray(inf)[None, :], n_buckets, idx)
     # batched sort across all windows (one lax.sort is ~2.5x the cost of a
-    # batch of 32: experiments/measure_r2b.log)
-    orders = jnp.argsort(digits, axis=1).astype(jnp.int32)
+    # batch of 32: experiments/measure_r2b.log); the per-point sign bit is
+    # folded into the order VALUES (pid*2+sign, sorted alongside the keys
+    # in one lax.sort_key_val) so the loop body gathers once
+    n = idx.shape[1]
+    enc = (jnp.arange(n, dtype=jnp.int32)[None, :] * 2
+           + negs.astype(jnp.int32))                     # [W, N]
+    _, orders = jax.lax.sort((idx, enc), dimension=1, num_keys=1)
     counts = jax.vmap(
-        functools.partial(jnp.bincount, length=n_buckets))(digits)
+        functools.partial(jnp.bincount, length=n_buckets + 1))(
+            idx)[:, :n_buckets]
 
-    acc = _bucket_accumulate_all(ops, madd, packed, x, y, orders, counts,
-                                 c, splits)              # [L, W, 2^c]
+    acc = _bucket_accumulate_all(ops, group, packed, x, y, orders, counts,
+                                 c, splits)              # [L, W, 2^(c-1)]
 
     # per split-group: fold sub-lanes, then the batched weighted reduction
     groups: dict[int, list[int]] = {}
@@ -296,20 +406,19 @@ def _msm(ops: CurveOps, group: str, x, y, inf, scalars, c: int,
         for i, w in enumerate(ws):
             wsums[w] = _tree_map(lambda t, i=i: t[..., i], totals)
 
-    # window combine: Horner with c fused doublings per window.  Rolled
-    # single-point dbl chains were the dominant MSM cost on TPU (hundreds
-    # of tiny sequential device ops); _add_all(t, t) runs each doubling as
-    # ONE fused kernel step instead (same kernel shape as the folds).
-
-    def horner_body(total, wsum):
-        total = jax.lax.fori_loop(
-            0, c, lambda i, t: _add_all(add_where, t, t), total)
-        return _add_all(add_where, total,
-                        _tree_map(lambda t: t[:, None], wsum)), None
-
-    stacked = _tree_map(lambda *ts: jnp.stack(ts), *wsums[::-1])
-    init = ops.inf_xyzz((1,))
-    total, _ = jax.lax.scan(horner_body, init, stacked)
+    # window combine: total = sum_w 2^(c*w) * S_w.  The 2^(cw) scaling is
+    # ONE in-kernel masked-doubling chain over [W] lanes (lane w doubles
+    # c*w times; kernels.curve_horner_scale) — the previous Horner scan
+    # issued ~SCALAR_BITS separate fused-add launches and cost ~58 ms of
+    # launch overhead at 2^18 — then a log2(W) pairwise fold.
+    stacked = _tree_map(lambda *ts: jnp.stack(ts, axis=-1), *wsums)
+    scaled = kernels.curve_horner_scale(group, c, n_windows)(*stacked)
+    m = 1 << max(1, (n_windows - 1).bit_length())
+    total = _tree_map(                       # zero-pad = xyzz infinity
+        lambda t: jnp.pad(t, ((0, 0), (0, m - n_windows))), scaled)
+    while m > 1:
+        total = _fold_pairs(add_where, total)
+        m //= 2
     return _tree_map(lambda t: t[..., 0], total)
 
 
