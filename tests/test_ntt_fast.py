@@ -42,6 +42,16 @@ def test_ntt_fast_roundtrip():
     assert (back == a).all()
 
 
+def test_quotient_fast_matches_base():
+    """quotient_scalars' fast (ntt_fast) pipeline == base per-stage path."""
+    log_n = 9
+    a = _rand_mont(1 << log_n, seed=21)
+    b = _rand_mont(1 << log_n, seed=22)
+    base = np.asarray(dntt._quotient_scalars_impl(a, b, log_n, fast=False))
+    fast = np.asarray(dntt._quotient_scalars_impl(a, b, log_n, fast=True))
+    assert (base == fast).all()
+
+
 def test_cg_kernel_interpret_mode():
     """The actual Pallas kernel body, via interpret mode on CPU."""
     import jax

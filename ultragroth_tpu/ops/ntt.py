@@ -207,8 +207,13 @@ def _cg_kernel_call(h, log_m: int, inverse: bool):
         return _cg_stages(h, tws, _RolledView(F), log_m)
 
     kv = F.kernel_view()
-    # lane-block size: cap VMEM block near 2 MB, keep lanes >= 128
-    cb = max(128, min(CB, (1 << 19) // (m * 4)))
+    # lane-block size: cap the input block at 1 MB of VMEM (L*m*cb*4 B),
+    # lanes >= 128.  The unrolled log_m-stage CIOS network multiplies the
+    # block's VMEM footprint several-fold; 8 MB input blocks (the old
+    # (1<<19)//(m*4) formula, which forgot the L factor) crash the Mosaic
+    # compile helper, while 1 MB (= the probe_cg2 geometry that compiles
+    # at factor 2^6) fits (experiments/probe_cg2.log, measure_r2d.log).
+    cb = max(128, min(CB, (1 << 20) // (L * m * 4)))
     pad = (-CB) % cb
     if pad:
         h = jnp.pad(h, ((0, 0), (0, 0), (0, pad)))
@@ -312,12 +317,12 @@ def _h_scale_std(log_n: int):
         return F.const(H_SCALE, ())
 
 
-def to_odd_coset(vals, log_n: int):
+def to_odd_coset(vals, log_n: int, ntt_fn=None):
     """ifft -> pointwise w_{2n}^i -> fft (all Montgomery domain)."""
-    F = fr()
-    coeffs = ntt(vals, log_n, inverse=True)
+    f = ntt_fn or ntt
+    coeffs = f(vals, log_n, inverse=True)
     shifted = kernels.fr_mont_mul()(coeffs, _coset_powers(log_n))
-    return ntt(shifted, log_n)
+    return f(shifted, log_n)
 
 
 @functools.partial(jax.jit, static_argnames=("domain_size", "chunk"))
@@ -348,19 +353,48 @@ def scatter_coefs(witness_mont, coef_val_mont, coef_m, coef_c, coef_s,
     return a, b
 
 
-@functools.partial(jax.jit, static_argnames=("log_n",))
+@functools.partial(jax.jit, static_argnames=("log_n", "fast"))
+def _quotient_scalars_impl(a, b, log_n: int, fast: bool):
+    F = fr()
+    mul = kernels.fr_mont_mul()
+    f = ntt_fast if fast else ntt
+    c = mul(a, b)
+    a2 = to_odd_coset(a, log_n, f)
+    b2 = to_odd_coset(b, log_n, f)
+    c2 = to_odd_coset(c, log_n, f)
+    h = F.sub(mul(a2, b2), c2)
+    return mul(h, _h_scale_std(log_n)[:, None] + jnp.zeros_like(h))
+
+
+def _ntt_mode() -> str:
+    """'fast' (VMEM-resident cg kernels) or 'base' (per-stage passes).
+    ULTRAGROTH_NTT overrides; default fast only on a real TPU (the flat
+    cg graphs are XLA-CPU-compile heavy, and interpret mode covers them
+    in dedicated tests)."""
+    import os
+    env = os.environ.get("ULTRAGROTH_NTT")
+    if env in ("fast", "base"):
+        return env
+    from .fuse import _interpret, _use_pallas
+    return "fast" if (_use_pallas() and not _interpret()) else "base"
+
+
+_FAST_QUOTIENT_BROKEN = False
+
+
 def quotient_scalars(a, b, log_n: int):
     """Montgomery-domain (a, b) evals -> standard-form H MSM scalars.
 
     Parity with the oracle quotient_evals (protocol/quotient.py): evaluate
     h = (A*B - C) on the odd coset and fold in the R^-2 wire scale, fused
-    into the final multiply.
+    into the final multiply.  Uses the ntt_fast kernel path on TPU with a
+    one-shot fallback to the per-stage NTT if the kernels fail to lower
+    (Mosaic ceilings are probed empirically; see _CG_KERNEL_MAX_LOG).
     """
-    F = fr()
-    mul = kernels.fr_mont_mul()
-    c = mul(a, b)
-    a2 = to_odd_coset(a, log_n)
-    b2 = to_odd_coset(b, log_n)
-    c2 = to_odd_coset(c, log_n)
-    h = F.sub(mul(a2, b2), c2)
-    return mul(h, _h_scale_std(log_n)[:, None] + jnp.zeros_like(h))
+    global _FAST_QUOTIENT_BROKEN
+    if _ntt_mode() == "fast" and not _FAST_QUOTIENT_BROKEN:
+        try:
+            return _quotient_scalars_impl(a, b, log_n, fast=True)
+        except Exception:  # noqa: BLE001 - Mosaic lowering/compile failure
+            _FAST_QUOTIENT_BROKEN = True
+    return _quotient_scalars_impl(a, b, log_n, fast=False)
