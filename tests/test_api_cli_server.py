@@ -157,6 +157,22 @@ def test_server_status_machine(tmp_path, small_groth16):
         httpd.shutdown()
 
 
+def test_prove_abort_check(small_groth16):
+    """Cooperative cancel: an abort_check that fires stops the prove at
+    the next phase boundary with ProveAborted (jax backend)."""
+    from ultragroth_tpu.trace import ProveAborted
+    setup, wtns_bytes = small_groth16
+    prover = api.Groth16Prover(setup.zkey_bytes, backend="jax")
+    with pytest.raises(ProveAborted):
+        prover.prove(wtns_bytes, abort_check=lambda: True)
+    # a never-firing check leaves the prove intact
+    proof_json, public_json = prover.prove(wtns_bytes,
+                                           abort_check=lambda: False)
+    vk_json = json.dumps(setup.vk_json)
+    assert api.groth16_verify(proof_json, public_json, vk_json) \
+        == api.VERIFIER_VALID_PROOF
+
+
 def test_server_ultragroth_autodetect(tmp_path, small_ultra):
     """The server must preload UltraGroth zkeys and prove from a posted
     .uwtns (protocol auto-detection, rand-signal-excluded publics)."""

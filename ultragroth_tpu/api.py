@@ -121,16 +121,21 @@ class Groth16Prover:
     def from_file(cls, path, backend: str = "jax", devices=None):
         return cls(open(path, "rb").read(), backend=backend, devices=devices)
 
-    def prove(self, wtns_buffer, r=None, s=None) -> tuple[str, str]:
+    def prove(self, wtns_buffer, r=None, s=None,
+              abort_check=None) -> tuple[str, str]:
         """-> (proof_json, public_json).  Witness validation parity:
-        src/prover.cpp:187-199."""
+        src/prover.cpp:187-199.  abort_check: optional callable polled
+        between phases (jax backend); True -> trace.ProveAborted."""
         wt = parse_wtns(_as_u8(wtns_buffer))
         if wt.n_vars != self.zk.n_vars:
             raise InvalidWitnessLength(
                 f"Invalid witness length. Circuit: {self.zk.n_vars}, "
                 f"witness: {wt.n_vars}")
         _check_prime(wt.prime)
-        proof = self._prover.prove(wt.values, r=r, s=s)
+        kw = ({"abort_check": abort_check}
+              if abort_check is not None
+              and isinstance(self._prover, JaxGroth16Prover) else {})
+        proof = self._prover.prove(wt.values, r=r, s=s, **kw)
         publics = array_to_ints(wt.values[1:self.zk.n_public + 1])
         return proof.to_json(), json.dumps([str(v) for v in publics])
 
@@ -161,7 +166,8 @@ class UltraGrothProver:
     def from_file(cls, path, backend: str = "jax", devices=None):
         return cls(open(path, "rb").read(), backend=backend, devices=devices)
 
-    def prove(self, uwtns_buffer, r0=None, r=None, s=None) -> tuple[str, str]:
+    def prove(self, uwtns_buffer, r0=None, r=None, s=None,
+              abort_check=None) -> tuple[str, str]:
         wt = parse_wtns(_as_u8(uwtns_buffer))
         if wt.n_vars != self.zk.n_vars:
             raise InvalidWitnessLength(
@@ -170,7 +176,11 @@ class UltraGrothProver:
         _check_prime(wt.prime)
         if wt.chunks is None:
             raise ProverError("uwtns lookup sections (3-6) missing")
-        proof, w_final = self._prover.prove(wt.values, wt, r0=r0, r=r, s=s)
+        kw = ({"abort_check": abort_check}
+              if abort_check is not None
+              and isinstance(self._prover, JaxUltraGrothProver) else {})
+        proof, w_final = self._prover.prove(wt.values, wt, r0=r0, r=r, s=s,
+                                            **kw)
         publics = ug.public_signals(w_final, self.zk.n_public,
                                     self.zk.rand_indx)
         return proof.to_json(), json.dumps([str(v) for v in publics])

@@ -151,14 +151,16 @@ class JaxGroth16Prover:
     last_phase_ms: dict | None = None
 
     def prove(self, witness_words: np.ndarray, r: int | None = None,
-              s: int | None = None) -> Proof:
+              s: int | None = None, abort_check=None) -> Proof:
+        """abort_check: optional callable polled between phases; raises
+        trace.ProveAborted when it returns True (cooperative cancel)."""
         zk = self.zk
         if witness_words.shape[0] != zk.n_vars:
             raise ValueError("Invalid witness length.")
         r = random_blinding() if r is None else r
         s = random_blinding() if s is None else s
         from ..trace import Tracer
-        t = Tracer(label="groth16-prove")
+        t = Tracer(label="groth16-prove", abort_check=abort_check)
         pi_a, pi_b1, pi_b2, pi_c, pi_h = self.msm_outputs(witness_words, t)
         proof = finalize_proof(
             self,
@@ -250,7 +252,7 @@ class JaxUltraGrothProver:
         return jnp.asarray(w_std).at[:, np.asarray(wtns_indxs, np.int32)].set(vals)
 
     def prove(self, witness_words: np.ndarray, lookup, r0=None, r=None,
-              s=None):
+              s=None, abort_check=None):
         from .groth16 import random_blinding
         from .ultragroth import derive_challenge, finalize_ultragroth
         from ..oracle import curve as oc
@@ -261,7 +263,7 @@ class JaxUltraGrothProver:
         r = random_blinding() if r is None else r
         s = random_blinding() if s is None else s
         from ..trace import Tracer
-        t = Tracer(label="ultragroth-prove")
+        t = Tracer(label="ultragroth-prove", abort_check=abort_check)
 
         w_std = jnp.asarray(lb.words_to_planes(witness_words))
 

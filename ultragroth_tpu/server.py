@@ -100,22 +100,31 @@ class FullProver:
                     f"witness generator failed: {res.stderr.decode()[:500]}")
             return out.read_bytes()
 
+    def _is_canceled(self) -> bool:
+        with self.mtx:
+            return self.canceled
+
     def _thread_calculate_prove(self):
         # All shared state is read/written under self.mtx; the prove itself
         # runs unlocked on local variables so /status and /input stay
-        # responsive (reference granularity: fullprover.cpp:137-202).
+        # responsive.  abort_check makes /cancel phase-granular (polled
+        # between the prover's MSM/NTT phases) — beyond the reference,
+        # which only consults its flag before the prove starts
+        # (fullprover.cpp:137-202).
+        from .trace import ProveAborted
         with self.mtx:
             circuit, body, is_wtns = self.executing
         proof = pub_data = None
         err = ""
         try:
             wtns = self._witness_bytes(circuit, body, is_wtns)
-            with self.mtx:
-                canceled = self.canceled
-            if not canceled:
-                proof_json, public_json = self.provers[circuit].prove(wtns)
+            if not self._is_canceled():
+                proof_json, public_json = self.provers[circuit].prove(
+                    wtns, abort_check=self._is_canceled)
                 proof = json.loads(proof_json)
                 pub_data = json.loads(public_json)
+        except ProveAborted:
+            pass                   # canceled is set; status -> aborted
         except Exception as e:  # noqa: BLE001 - status machine captures all
             err = str(e)
         self._calc_finished(proof, pub_data, err)

@@ -34,21 +34,40 @@ def _sync(value) -> None:
     # host-only values: nothing to sync
 
 
+class ProveAborted(RuntimeError):
+    """Raised between prover phases when an abort_check fires (the
+    cooperative in-flight cancellation behind the server's /cancel;
+    the reference only consults its flag before the prove starts,
+    fullprover.cpp:137-202)."""
+
+
 class Tracer:
     """Named phase marks around the prover pipeline.
 
     with tracer.phase("msm_a") as p: p.out = pi_a
     or the lighter tracer.mark("msm_a", pi_a) between pipeline steps.
+
+    abort_check: optional callable polled at every mark; when it returns
+    True the mark raises ProveAborted.  Polling syncs the phase output
+    first (serializing the phases like tracing does), so it is opt-in —
+    the default prove keeps JAX's async dispatch.
     """
 
-    def __init__(self, enabled: bool | None = None, label: str = "prove"):
+    def __init__(self, enabled: bool | None = None, label: str = "prove",
+                 abort_check=None):
         self.enabled = _env_enabled() if enabled is None else enabled
         self.label = label
+        self.abort_check = abort_check
         self.phase_ms: dict[str, float] = {}
         self._t0 = time.perf_counter() if self.enabled else 0.0
 
     def mark(self, name: str, value=None) -> None:
         """Record time since the previous mark; syncs on `value` first."""
+        if self.abort_check is not None:
+            if value is not None:
+                _sync(value)
+            if self.abort_check():
+                raise ProveAborted(f"aborted during {self.label}:{name}")
         if not self.enabled:
             return
         if value is not None:
