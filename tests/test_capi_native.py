@@ -139,3 +139,34 @@ def test_oneshot_zkey_file_and_sizes(lib, fixture_files):
     rc = lib.groth16_prover_create_zkey_file(
         ctypes.byref(obj), b"/nonexistent/x.zkey", err, ULL(512))
     assert rc == api.PROVER_ERROR and err.value
+
+
+def test_public_headers_compile_and_link(tmp_path):
+    """native/include/ultragroth/*.h must compile standalone and link
+    against the shim exactly as a packaged consumer would
+    (scripts/package_library.sh bundle layout)."""
+    import shutil
+    import subprocess
+    if shutil.which("cc") is None and shutil.which("g++") is None:
+        pytest.skip("no C compiler")
+    cc = shutil.which("cc") or shutil.which("g++")
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    inc = repo / "native" / "include"
+    libdir = LIB.parent
+    src = tmp_path / "consumer.c"
+    src.write_text(
+        '#include "ultragroth/prover.h"\n'
+        '#include "ultragroth/verifier.h"\n'
+        "int main(void) {\n"
+        "    unsigned long long n = 0, m = 0;\n"
+        "    groth16_proof_size(&n);\n"
+        "    ultra_groth_proof_size(&m);\n"
+        "    return (n == 810 && m == 1400) ? 0 : 1;\n"
+        "}\n")
+    exe = tmp_path / "consumer"
+    subprocess.run(
+        [cc, str(src), f"-I{inc}", f"-L{libdir}", "-lultragroth",
+         f"-Wl,-rpath,{libdir}", "-o", str(exe)],
+        check=True, capture_output=True)
+    res = subprocess.run([str(exe)], capture_output=True)
+    assert res.returncode == 0
