@@ -34,6 +34,38 @@ def _setup_jax():
     return jax
 
 
+def _probe_device(timeout_s: float = 300.0):
+    """Bounded device-liveness probe: the axon relay can be down for hours
+    (worker crash), and jax device init then HANGS instead of raising —
+    without this the whole bench would burn its budget on a dead relay.
+    Runs the init + a tiny readback in a daemon thread and gives up after
+    timeout_s, emitting a diagnosable JSON line."""
+    import threading
+    result: dict = {}
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+            result["device"] = str(jax.devices()[0])
+            np.asarray(jnp.ones((2,), jnp.uint32) + 1)
+            result["ok"] = True
+        except Exception as e:  # noqa: BLE001
+            result["error"] = str(e)[:200]
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not result.get("ok"):
+        print(json.dumps({
+            "metric": "g1_msm_points_per_sec", "value": 0.0,
+            "unit": "points/s", "vs_baseline": 0.0,
+            "error": ("device unreachable (relay down?): "
+                      + result.get("error", f"probe timeout {timeout_s}s")),
+        }))
+        sys.exit(0)
+
+
 def _sync(x):
     """True device sync: block_until_ready does not sync through the axon
     relay; force a tiny host readback instead."""
@@ -203,6 +235,7 @@ def main():
                     help="subset of phases: msm ntt quot prove g2 e2e")
     args = ap.parse_args()
 
+    _probe_device()
     jax = _setup_jax()
     out: dict = {"device": str(jax.devices()[0])}
 
