@@ -224,20 +224,38 @@ def _bucket_accumulate_all(ops: CurveOps, group: str, packed, x_like,
         return madd_complete(ops.inf_xyzz((width,)), gx, gy, ~valid, gneg)
 
     def drain(acc, gidx, stride, cnts, t_from, t_to):
-        """Fast madd steps t_from..t_to-1 with flagged complete redo."""
-        def body(st):
-            t, a = st
+        """Fast madd steps t_from..t_to-1; STICKY exception flag.
+
+        The hot loop body is the incomplete madd only — no per-step
+        branch (a lax.cond inside the while body tripled the XLA compile
+        cost and added a per-step sync).  If any lane ever flagged, ONE
+        outer cond redoes the whole drain from the same initial state
+        with the complete formula: exceptional inputs (duplicate points,
+        cancellations) cost 2x, the common case pays nothing.  The flag
+        is sound even though post-exception lanes compute garbage — the
+        FIRST exceptional step is detected while the accumulator is
+        still valid, and the redo discards everything after it."""
+        def body_fast(st):
+            t, a, fl = st
             valid = t < cnts
             gx, gy, gneg = fetch(gidx + t * stride, valid)
             out, flag = madd_fast(a, gx, gy, gneg, valid)
-            a = jax.lax.cond(
-                jnp.any(flag),
-                lambda: madd_complete(a, gx, gy, ~valid, gneg),
-                lambda: out)
-            return (t + 1, a)
+            return (t + 1, out, fl | jnp.any(flag))
 
-        return jax.lax.while_loop(lambda st: st[0] < t_to, body,
-                                  (t_from, acc))[1]
+        def body_complete(st):
+            t, a = st
+            valid = t < cnts
+            gx, gy, gneg = fetch(gidx + t * stride, valid)
+            return (t + 1, madd_complete(a, gx, gy, ~valid, gneg))
+
+        _, fast_acc, flagged = jax.lax.while_loop(
+            lambda st: st[0] < t_to, body_fast,
+            (t_from, acc, jnp.bool_(False)))
+        return jax.lax.cond(
+            flagged,
+            lambda: jax.lax.while_loop(lambda st: st[0] < t_to,
+                                       body_complete, (t_from, acc))[1],
+            lambda: fast_acc)
 
     acc = seed(gidx0, stride_f, cnt_f, jnp.int32(0), lanes)
     two_phase = lanes > 8192
