@@ -233,6 +233,127 @@ def jax_mont_mul_mxu(a16, b16):
     return jnp.where(use_sub[None], d, ext[:16])
 
 
+def _kernel_body(a16, b16, npm, ptm, pp):
+    """Straight-line kernel body shared by the Pallas kernel and its
+    interpret-mode test: [16, blk] u32 limb planes + const matrices as
+    OPERANDS (kernels must not capture const arrays)."""
+    import jax.numpy as jnp
+    blk = a16.shape[1:]
+
+    def split(xs):
+        planes = []
+        for l in range(16):
+            planes.append((xs[l] & 0xFF).astype(jnp.float32))
+            planes.append((xs[l] >> 8).astype(jnp.float32))
+        return planes
+
+    af, bf = split(a16), split(b16)
+    bstack = jnp.stack(bf)
+    t = [jnp.zeros(blk, jnp.float32) for _ in range(66)]
+    for i in range(32):
+        prod = af[i][None] * bstack
+        for j in range(32):
+            t[i + j] = t[i + j] + prod[j]
+    x = [jnp.zeros(blk, jnp.float32) for _ in range(34)]
+    for p in range(32):
+        tp = t[p]
+        b1 = jnp.floor(tp * (1.0 / 256.0))
+        b2 = jnp.floor(tp * (1.0 / 65536.0))
+        x[p] = x[p] + (tp - b1 * 256.0)
+        x[p + 1] = x[p + 1] + (b1 - b2 * 256.0)
+        x[p + 2] = x[p + 2] + b2
+    xstack = jnp.stack(x[:32])
+    m_cs = jnp.dot(npm, xstack, preferred_element_type=jnp.float32)
+    m = []
+    c = jnp.zeros(blk, jnp.float32)
+    for l in range(32):
+        s = m_cs[l] + c
+        c = jnp.floor(s * (1.0 / 256.0))
+        m.append(s - c * 256.0)
+    mp = jnp.dot(ptm, jnp.stack(m), preferred_element_type=jnp.float32)
+    c = jnp.zeros(blk, jnp.float32)
+    out = []
+    for l in range(66):
+        s = t[l] + c + (mp[l] if l < 64 else 0.0)
+        c = jnp.floor(s * (1.0 / 256.0))
+        out.append(s - c * 256.0)
+    hi = out[32:] + [c]
+    limbs = []
+    for l in range(17):
+        lo8 = hi[2 * l].astype(jnp.uint32)
+        h8 = (hi[2 * l + 1].astype(jnp.uint32)
+              if 2 * l + 1 < len(hi) else jnp.zeros(blk, jnp.uint32))
+        limbs.append(lo8 | (h8 << 8))
+    ext = jnp.stack(limbs)
+    from ultragroth_tpu.ops import field as fld
+    pbc = jnp.broadcast_to(pp[:, :1], (16,) + blk)
+    d, borrow = fld._sub_cla(ext[:16], pbc, unroll=True)
+    use_sub = (ext[16] > 0) | (borrow == 0)
+    return jnp.where(use_sub[None], d, ext[:16])
+
+
+def pallas_mont_mul_mxu(a16, b16, block: int = 1024, interpret: bool = False):
+    """One fused Pallas kernel: HBM->VMEM once, schoolbook FMAs + two MXU
+    dots + ripples all VMEM-resident, result planes stream back once."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+        vmem = pltpu.VMEM
+    except Exception:
+        vmem = None
+    n = a16.shape[1]
+    pad = (-n) % block
+    if pad:
+        a16 = jnp.pad(a16, [(0, 0), (0, pad)])
+        b16 = jnp.pad(b16, [(0, 0), (0, pad)])
+    npn = n + pad
+    npm = jnp.asarray(NP_MAT)
+    ptm = jnp.asarray(PT_MAT)
+    from ultragroth_tpu.ops import field as fld
+    pp = jnp.broadcast_to(jnp.asarray(
+        np.array(fld.fr().p_limbs, np.uint32))[:, None], (16, 128))
+
+    def kernel(a_ref, b_ref, npm_ref, ptm_ref, pp_ref, o_ref):
+        o_ref[...] = _kernel_body(a_ref[...], b_ref[...],
+                                  npm_ref[...], ptm_ref[...], pp_ref[...])
+
+    kw = dict(memory_space=vmem) if vmem is not None else {}
+    out = pl.pallas_call(
+        kernel,
+        grid=(npn // block,),
+        in_specs=[pl.BlockSpec((16, block), lambda i: (0, i), **kw),
+                  pl.BlockSpec((16, block), lambda i: (0, i), **kw),
+                  pl.BlockSpec((32, 32), lambda i: (0, 0), **kw),
+                  pl.BlockSpec((64, 32), lambda i: (0, 0), **kw),
+                  pl.BlockSpec((16, 128), lambda i: (0, 0), **kw)],
+        out_specs=pl.BlockSpec((16, block), lambda i: (0, i), **kw),
+        out_shape=jax.ShapeDtypeStruct((16, npn), jnp.uint32),
+        interpret=interpret,
+    )(a16, b16, npm, ptm, pp)
+    return out[:, :n]
+
+
+def check_pallas_interpret(trials: int = 256, seed: int = 4):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from ultragroth_tpu.ops.field import fr
+    F = fr()
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1 << 16, size=(16, trials), dtype=np.uint32)
+    b = rng.integers(0, 1 << 16, size=(16, trials), dtype=np.uint32)
+    a[15] &= 0x2FFF
+    b[15] &= 0x2FFF
+    want = np.asarray(F._mont_mul(jnp.asarray(a), jnp.asarray(b)))
+    got = np.asarray(pallas_mont_mul_mxu(jnp.asarray(a), jnp.asarray(b),
+                                         block=128, interpret=True))
+    assert (got == want).all(), "pallas interpret mismatch"
+    print(f"pallas kernel (interpret) matches on {trials} samples, "
+          f"incl. padding path")
+
+
 def check_jax(trials: int = 128, seed: int = 2):
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -286,6 +407,10 @@ def time_tpu(log_batch: int = 20):
 
     timeit("fused CIOS kernel (baseline)",
            jax.jit(lambda x, y: kernels.fr_mont_mul(x, y)))
+    timeit("MXU-REDC fused pallas b=1024",
+           jax.jit(lambda x, y: pallas_mont_mul_mxu(x, y, block=1024)))
+    timeit("MXU-REDC fused pallas b=512",
+           jax.jit(lambda x, y: pallas_mont_mul_mxu(x, y, block=512)))
     timeit("MXU-REDC (plain XLA)", jax.jit(jax_mont_mul_mxu))
 
 
@@ -295,3 +420,4 @@ if __name__ == "__main__":
     else:
         check_model()
         check_jax()
+        check_pallas_interpret()
