@@ -33,6 +33,9 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .api import Groth16Prover, UltraGrothProver, ProverError
+from .log import get_logger
+
+LOG = get_logger("ultragroth.server")
 
 
 class FullProver:
@@ -51,6 +54,8 @@ class FullProver:
             except Exception:
                 self.provers[name] = Groth16Prover.from_file(
                     path, backend, devices=devices)
+            LOG.info("circuit loaded: %s (%s)", name,
+                     type(self.provers[name]).__name__)
         self.witgen = witgen
         self.status = "ready"
         self.proof = None
@@ -76,6 +81,7 @@ class FullProver:
             self.executing = self.pending
             self.pending = None
             self.status = "busy"
+            LOG.debug("prove started: circuit=%s", self.executing[0])
             self.err_string = ""
             self.canceled = False
             self.proof = None
@@ -140,6 +146,10 @@ class FullProver:
                 self.status = "failed"
             else:
                 self.status = "success"
+            if err:
+                LOG.error("prove failed: %s", err)
+            else:
+                LOG.info("prove finished: status=%s", self.status)
             self.canceled = False
             self.executing = None
             self._check_pending()
@@ -148,6 +158,7 @@ class FullProver:
         with self.mtx:
             if self.status == "busy":
                 self.canceled = True
+                LOG.info("prove abort requested")
 
     def get_status(self) -> dict:
         with self.mtx:
@@ -201,8 +212,8 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._send(404)
 
-    def log_message(self, fmt, *args):  # quiet by default
-        pass
+    def log_message(self, fmt, *args):  # route access log at debug level
+        LOG.debug("http: %s", fmt % args)
 
 
 def serve(zkey_paths, port: int = 9080, witgen: str | None = None,
