@@ -13,6 +13,14 @@ import os
 import pathlib
 import sys
 
+# XLA:CPU's LLVM JIT eats several mmaps per compiled executable; heavy
+# sessions blow the 65530 default (-> 'LLVM compilation error: Cannot
+# allocate memory' + segfault, the round-2 full-suite killer).  Raise it
+# when we can (root); per-file pytest processes bound it otherwise.
+from ultragroth_tpu.runtime import ensure_map_count
+
+ensure_map_count()
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -5,7 +5,10 @@
   is minutes; cached reruns are milliseconds) - dir from
   ULTRAGROTH_COMPILE_CACHE, default ~/.cache/ultragroth_tpu/xla;
 - optional platform override via ULTRAGROTH_PLATFORM=cpu|tpu (needed by
-  embedded consumers that cannot call jax.config themselves).
+  embedded consumers that cannot call jax.config themselves);
+- multi-host bootstrap: when ULTRAGROTH_COORDINATOR is set,
+  jax.distributed.initialize is called before any backend touch
+  (parallel/mesh.py), so every entry point can drive a pod slice.
 """
 from __future__ import annotations
 
@@ -15,11 +18,33 @@ import pathlib
 _CONFIGURED = False
 
 
+def ensure_map_count(min_maps: int = 1 << 20) -> None:
+    """Best-effort raise of vm.max_map_count.
+
+    XLA:CPU's LLVM JIT allocates several mappings per compiled
+    executable; compile-heavy processes (full test suite, the multichip
+    dryrun, cold proves) exceed the 65530 default within minutes and die
+    with 'LLVM compilation error: Cannot allocate memory' followed by a
+    segfault — the crash that took down every round-2 full-suite run.
+    Raising the knob needs root; failures are silently ignored (the
+    per-file test runner keeps map counts bounded as the fallback)."""
+    path = "/proc/sys/vm/max_map_count"
+    try:
+        with open(path) as f:
+            cur = int(f.read().strip())
+        if cur < min_maps:
+            with open(path, "w") as f:
+                f.write(str(min_maps))
+    except Exception:
+        pass
+
+
 def configure() -> None:
     global _CONFIGURED
     if _CONFIGURED:
         return
     _CONFIGURED = True
+    ensure_map_count()
     import jax
 
     plat = os.environ.get("ULTRAGROTH_PLATFORM")
@@ -28,6 +53,11 @@ def configure() -> None:
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass
+
+    # multi-host runtime (no-op unless ULTRAGROTH_COORDINATOR is set);
+    # must run before the first backend query
+    from .parallel.mesh import distributed_init
+    distributed_init()
 
     cache = os.environ.get("ULTRAGROTH_COMPILE_CACHE")
     if cache != "off":
