@@ -101,6 +101,49 @@ def test_mesh_prover_api_devices_arg(golden_zkey_bytes, golden_wtns_bytes,
         == api.VERIFIER_VALID_PROOF
 
 
+def test_two_axis_host_chip_mesh_prover(golden_zkey_bytes,
+                                        golden_wtns_bytes, golden_vk_json):
+    """SURVEY section 5.8 multi-host story: a ('host', 'chip') 2-axis mesh
+    (2 virtual hosts x 4 chips) drives the same public prover with
+    axis=('host', 'chip'); proof is bit-identical to single-device.  The
+    collectives flatten over both axes (PartitionSpec tuple-axis), which
+    is exactly how a real pod slice shards after jax.distributed init."""
+    from ultragroth_tpu.io.fieldenc import array_to_ints
+    from ultragroth_tpu.io.wtns import parse_wtns
+    from ultragroth_tpu.io.zkey import parse_groth16_zkey
+    from ultragroth_tpu.protocol import groth16 as g16
+    from ultragroth_tpu.protocol.prover import JaxGroth16Prover
+
+    zk = parse_groth16_zkey(np.frombuffer(golden_zkey_bytes, np.uint8))
+    wt = parse_wtns(np.frombuffer(golden_wtns_bytes, np.uint8))
+    devs = np.array(jax.devices())[:8].reshape(2, 4)
+    with Mesh(devs, ("host", "chip")) as mesh:
+        sharded = JaxGroth16Prover(zk, mesh=mesh, axis=("host", "chip"))
+        proof = sharded.prove(wt.values, r=R_BLIND, s=S_BLIND)
+
+    single = JaxGroth16Prover(zk).prove(wt.values, r=R_BLIND, s=S_BLIND)
+    assert proof.to_json_dict() == single.to_json_dict()
+
+    vk = g16.VerificationKey.from_json_dict(golden_vk_json)
+    publics = array_to_ints(wt.values[1:zk.n_public + 1])
+    assert g16.verify(proof, publics, vk)
+
+
+def test_make_mesh_single_process():
+    from ultragroth_tpu.parallel.mesh import make_host_chip_mesh, axis_size
+    mesh = make_host_chip_mesh(8)
+    assert mesh.axis_names == ("host", "chip")
+    assert mesh.shape["host"] == 1 and mesh.shape["chip"] == 8
+    assert axis_size(mesh, ("host", "chip")) == 8
+    assert axis_size(mesh, "chip") == 8
+
+
+def test_distributed_init_noop(monkeypatch):
+    from ultragroth_tpu.parallel import mesh as pmesh
+    monkeypatch.delenv("ULTRAGROTH_COORDINATOR", raising=False)
+    assert pmesh.distributed_init() is False
+
+
 def test_mesh_prover_ultragroth_bitexact():
     """UltraGroth mesh twin: sharded 2-round prove == single-device,
     and the 5-pairing verify passes.  Circuit sized so the quotient

@@ -19,6 +19,7 @@ from jax import shard_map
 from ..ops.curve import g1_ops, g2_ops
 from ..ops import kernels
 from ..ops.msm import _msm, _fold_pairs, _pad_pow2, _tree_map
+from .mesh import axis_size
 
 
 def _fold_gathered(ops, group, pts, n: int):
@@ -31,36 +32,63 @@ def _fold_gathered(ops, group, pts, n: int):
     return _tree_map(lambda t: t[..., 0], pts)
 
 
-def _sharded_msm(ops, group: str, mesh: Mesh, axis: str, x, y, inf, scalars,
-                 c: int):
-    n_windows = -(-256 // c)
-    ndev = mesh.shape[axis]
+@functools.lru_cache(maxsize=None)
+def _sharded_msm_fn(group: str, mesh: Mesh, axis, c: int):
+    """Build ONE jitted shard_map program per (group, mesh, axis, c).
 
-    pspec_pt = jax.tree_util.tree_map(lambda _: P(None, axis), x)
+    Two properties are load-bearing:
+    - the shard_map is wrapped in jax.jit: an eager shard_map executes
+      its body op-by-op, dispatching every add/mul as its own tiny
+      multi-device computation — a cold 8-device CPU prove spent ~40
+      minutes compiling ~20,000 one-op programs that way (round-2's
+      MULTICHIP timeout);
+    - the program is cached across calls: rebuilding the shard_map
+      closure per MSM call gave every one of a prove's five MSMs a
+      fresh trace.
+    """
+    from ..ops.msm import SCALAR_BITS
+    ops = g1_ops() if group == "g1" else g2_ops()
+    n_windows = -(-SCALAR_BITS // c)
+    ndev = axis_size(mesh, axis)
+
+    leaf = P(None, axis)
+    pspec_pt = leaf if group == "g1" else (leaf, leaf)
     spec_in = (pspec_pt, pspec_pt, P(axis), P(None, axis))
-    spec_out = jax.tree_util.tree_map(lambda _: P(), (x, x, x, x))
 
+    @jax.jit
     @functools.partial(shard_map, mesh=mesh, in_specs=spec_in,
-                       out_specs=spec_out, check_vma=False)
+                       out_specs=P(), check_vma=False)
     def run(x, y, inf, s):
         local = _msm(ops, group, x, y, inf, s, c, n_windows)  # leaves [L]
         gathered = jax.lax.all_gather(local, axis, axis=1)    # leaves [L, D]
         return _fold_gathered(ops, group, gathered, ndev)
 
-    return run(x, y, inf, scalars)
+    return run
 
 
-def msm_g1_sharded(x, y, inf, scalars, mesh: Mesh, axis: str = "data",
+def _sharded_msm(ops, group: str, mesh: Mesh, axis, x, y, inf, scalars,
+                 c: int):
+    """axis: a mesh-axis name or a TUPLE of names — e.g. ('host', 'chip')
+    on a pod slice; shards/collectives flatten over the product (the
+    per-chip partials are O(devices) points, so the all_gather is cheap
+    on DCN too)."""
+    if isinstance(axis, list):
+        axis = tuple(axis)
+    return _sharded_msm_fn(group, mesh, axis, c)(x, y, inf, scalars)
+
+
+def msm_g1_sharded(x, y, inf, scalars, mesh: Mesh, axis="data",
                    c: int = 16):
-    """G1 MSM sharded across `mesh[axis]`.  N must divide evenly after the
-    power-of-two pad; inputs follow ops.msm.msm_g1 conventions."""
+    """G1 MSM sharded across `mesh[axis]` (axis: name or tuple of names).
+    N must divide evenly after the power-of-two pad; inputs follow
+    ops.msm.msm_g1 conventions."""
     x, y, inf, scalars = _pad_pow2(x, y, inf, scalars)
     return _sharded_msm(g1_ops(), "g1", mesh, axis, jnp.asarray(x),
                         jnp.asarray(y), jnp.asarray(inf),
                         jnp.asarray(scalars), c)
 
 
-def msm_g2_sharded(x, y, inf, scalars, mesh: Mesh, axis: str = "data",
+def msm_g2_sharded(x, y, inf, scalars, mesh: Mesh, axis="data",
                    c: int = 16):
     x, y, inf, scalars = _pad_pow2(x, y, inf, scalars)
     x = tuple(jnp.asarray(v) for v in x)

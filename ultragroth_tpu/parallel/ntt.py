@@ -27,6 +27,7 @@ from ..protocol.transcript import root_of_unity
 from ..ops.field import fr
 from ..ops.limbs import NLIMBS
 from ..ops import ntt as base_ntt
+from .mesh import axis_size
 
 L = NLIMBS
 
@@ -72,19 +73,20 @@ def _batched_ntt(a, log_m: int, inverse: bool):
     return a
 
 
-def ntt_sharded(a, log_n: int, mesh: Mesh, axis: str = "data",
-                inverse: bool = False):
-    """[L, n] Montgomery planes -> NTT, n1 axis sharded over mesh[axis]."""
+@functools.lru_cache(maxsize=None)
+def _ntt_sharded_fn(log_n: int, mesh: Mesh, axis, inverse: bool):
+    """ONE jitted shard_map program per (log_n, mesh, axis, inverse).
+
+    jit-wrapped and cached for the same reason as parallel.msm's builder:
+    an eager shard_map executes op-by-op (one tiny multi-device compile
+    per add/mul), and a per-call closure retraces on every NTT pass —
+    a sharded quotient runs six of these."""
     F = fr()
-    ndev = mesh.shape[axis]
+    ndev = axis_size(mesh, axis)
     log_n1 = max((log_n // 2), (ndev - 1).bit_length())
     log_n2 = log_n - log_n1
     n1, n2 = 1 << log_n1, 1 << log_n2
     assert n1 % ndev == 0, (n1, ndev)
-
-    w = root_of_unity(log_n)
-    if inverse:
-        w = pow(w, -1, FR_MODULUS)
 
     # Warm the lru-cached twiddle tables OUTSIDE the shard_map region:
     # cache entries first created inside a shard_map trace would capture
@@ -95,10 +97,7 @@ def ntt_sharded(a, log_n: int, mesh: Mesh, axis: str = "data",
         base_ntt._n_inv_mont(log_n1)
         base_ntt._n_inv_mont(log_n2)
 
-    # per-row twiddle bases w_n^(j1), j1 global row index: precompute [L, n1]
-    with jax.ensure_compile_time_eval():
-        row_bases = base_ntt._powers(F, w, n1)
-
+    @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(None, axis, None), P(None, axis)),
@@ -122,13 +121,36 @@ def ntt_sharded(a, log_n: int, mesh: Mesh, axis: str = "data",
         # inverse passes scale by 1/n2 and 1/n1 = 1/n total.
         return _batched_ntt(h, log_n1, inverse)
 
+    return run, log_n1, log_n2
+
+
+def ntt_sharded(a, log_n: int, mesh: Mesh, axis="data",
+                inverse: bool = False):
+    """[L, n] Montgomery planes -> NTT, n1 axis sharded over mesh[axis].
+
+    axis: a mesh-axis name or a tuple of names (e.g. ('host', 'chip')):
+    the transpose's all_to_all flattens over the product — on a pod slice
+    put the fast axis last so the bulk of the exchange rides ICI."""
+    if isinstance(axis, list):
+        axis = tuple(axis)
+    run, log_n1, log_n2 = _ntt_sharded_fn(log_n, mesh, axis, inverse)
+    n1, n2 = 1 << log_n1, 1 << log_n2
+
+    F = fr()
+    w = root_of_unity(log_n)
+    if inverse:
+        w = pow(w, -1, FR_MODULUS)
+    # per-row twiddle bases w_n^(j1), j1 global row index: precompute [L, n1]
+    with jax.ensure_compile_time_eval():
+        row_bases = base_ntt._powers(F, w, n1)
+
     m = a.reshape(L, n2, n1).transpose(0, 2, 1)      # M[j1, j2]
     out = run(m, jnp.asarray(row_bases))             # [L, n2 (sharded), n1]
     # out[:, k2, k1] = X[k2 + n2*k1] -> natural order via transpose
     return out.transpose(0, 2, 1).reshape(L, 1 << log_n)
 
 
-def to_odd_coset_sharded(vals, log_n: int, mesh: Mesh, axis: str = "data"):
+def to_odd_coset_sharded(vals, log_n: int, mesh: Mesh, axis="data"):
     """Sharded twin of ops.ntt.to_odd_coset: ifft -> w_{2n}^i -> fft."""
     from ..ops import kernels
     coeffs = ntt_sharded(vals, log_n, mesh, axis, inverse=True)
@@ -137,7 +159,7 @@ def to_odd_coset_sharded(vals, log_n: int, mesh: Mesh, axis: str = "data"):
 
 
 def quotient_scalars_sharded(a, b, log_n: int, mesh: Mesh,
-                             axis: str = "data"):
+                             axis="data"):
     """Sharded twin of ops.ntt.quotient_scalars: the six NTT passes of the
     H(x) pipeline (parity: /root/reference/src/groth16.cpp:110-148) run as
     4-step mesh NTTs; the elementwise combines stay fused XLA ops."""

@@ -8,6 +8,7 @@ reuses the audited host oracle (protocol/groth16.py:finalize_proof).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,6 +46,40 @@ def xyzz_to_oracle_g1(pt):
     return None if bool(np.asarray(inf)) else (xi, yi)
 
 
+@jax.jit
+def _normalize_outputs(g1_pts, g2_pt):
+    """All five MSM outputs -> standard-domain affine planes in ONE device
+    call: the g1 points batch into one to_affine (one shared Fermat
+    inversion chain over the 4-wide batch) and the g2 point rides the same
+    program, so finalization costs ONE dispatch + ONE readback instead of
+    five of each (at ~150 ms per relay round trip the old per-point path
+    charged ~830 ms of pure latency to `finalize`)."""
+    stacked = tuple(jnp.stack([p[i] for p in g1_pts], axis=-1)
+                    for i in range(4))                 # leaves [L, 4]
+    F = fq()
+    x, y, inf = g1_ops().to_affine(stacked)
+    g1 = (F.from_mont(x), F.from_mont(y), inf)
+    x2, y2, inf2 = g2_ops().to_affine(g2_pt)
+    g2 = (tuple(F.from_mont(c) for c in x2),
+          tuple(F.from_mont(c) for c in y2), inf2)
+    return g1, g2
+
+
+def _oracle_points(g1_pts, g2_pt):
+    """Batched device->host finalization: returns ([4 affine-int G1 or
+    None], G2 affine-int pair or None)."""
+    (x, y, inf), (x2, y2, inf2) = jax.device_get(
+        _normalize_outputs(tuple(g1_pts), g2_pt))
+    xs = lb.planes_to_ints(np.asarray(x))
+    ys = lb.planes_to_ints(np.asarray(y))
+    infs = np.asarray(inf)
+    g1 = [None if bool(infs[i]) else (xs[i], ys[i]) for i in range(4)]
+    vals = [lb.planes_to_ints(np.asarray(c))[0] for c in (*x2, *y2)]
+    g2 = (None if bool(np.asarray(inf2))
+          else ((vals[0], vals[1]), (vals[2], vals[3])))
+    return g1, g2
+
+
 def xyzz_to_oracle_g2(pt):
     x, y, inf = g2_ops().to_affine(pt)
     F = fq()
@@ -67,7 +102,7 @@ class JaxGroth16Prover:
     scaling dimension the single-node reference lacks (SURVEY.md §2.12).
     """
 
-    def __init__(self, zkey, mesh=None, axis: str = "data"):
+    def __init__(self, zkey, mesh=None, axis="data"):
         self.zk = zkey
         zk = zkey
         self.mesh = mesh
@@ -126,26 +161,23 @@ class JaxGroth16Prover:
         zk = self.zk
         w_std = lb.words_to_planes(witness_words)       # standard form
         FR = fr()
-        w_mont = FR.to_mont(w_std)
-        t.mark("upload", w_mont)
+        w_mont = t.run("upload", lambda: FR.to_mont(w_std))
 
-        pi_a = self._msm_g1(self.points_a, w_std, c=self.c_vars)
-        t.mark("msm_a", pi_a)
-        pi_b1 = self._msm_g1(self.points_b1, w_std, c=self.c_vars)
-        t.mark("msm_b1", pi_b1)
-        pi_b2 = self._msm_g2(self.points_b2, w_std, c=self.c_vars)
-        t.mark("msm_b2", pi_b2)
-        pi_c = self._msm_g1(self.points_c, w_std[:, zk.n_public + 1:],
-                            c=self.c_vars)
-        t.mark("msm_c", pi_c)
+        pi_a = t.run("msm_a", lambda: self._msm_g1(
+            self.points_a, w_std, c=self.c_vars))
+        pi_b1 = t.run("msm_b1", lambda: self._msm_g1(
+            self.points_b1, w_std, c=self.c_vars))
+        pi_b2 = t.run("msm_b2", lambda: self._msm_g2(
+            self.points_b2, w_std, c=self.c_vars))
+        pi_c = t.run("msm_c", lambda: self._msm_g1(
+            self.points_c, w_std[:, zk.n_public + 1:], c=self.c_vars))
 
-        a, b = dntt.scatter_coefs(w_mont, self.coef_val_mont, self.coef_m,
-                                  self.coef_c, self.coef_s, zk.domain_size)
-        t.mark("scatter", (a, b))
-        h_std = self._quotient(a, b)
-        t.mark("quotient", h_std)
-        pi_h = self._msm_g1(self.points_h, h_std, c=self.c_h)
-        t.mark("msm_h", pi_h)
+        a, b = t.run("scatter", lambda: dntt.scatter_coefs(
+            w_mont, self.coef_val_mont, self.coef_m, self.coef_c,
+            self.coef_s, zk.domain_size))
+        h_std = t.run("quotient", lambda: self._quotient(a, b))
+        pi_h = t.run("msm_h", lambda: self._msm_g1(
+            self.points_h, h_std, c=self.c_h))
         return pi_a, pi_b1, pi_b2, pi_c, pi_h
 
     last_phase_ms: dict | None = None
@@ -159,18 +191,15 @@ class JaxGroth16Prover:
             raise ValueError("Invalid witness length.")
         r = random_blinding() if r is None else r
         s = random_blinding() if s is None else s
-        from ..trace import Tracer
+        from ..trace import Tracer, profile_session
         t = Tracer(label="groth16-prove", abort_check=abort_check)
-        pi_a, pi_b1, pi_b2, pi_c, pi_h = self.msm_outputs(witness_words, t)
-        proof = finalize_proof(
-            self,
-            xyzz_to_oracle_g1(pi_a),
-            xyzz_to_oracle_g1(pi_b1),
-            xyzz_to_oracle_g2(pi_b2),
-            xyzz_to_oracle_g1(pi_c),
-            xyzz_to_oracle_g1(pi_h),
-            r, s)
-        t.mark("finalize")
+        with profile_session("groth16-prove"):
+            pi_a, pi_b1, pi_b2, pi_c, pi_h = self.msm_outputs(
+                witness_words, t)
+            (a, b1, c_, h), b2 = _oracle_points((pi_a, pi_b1, pi_c, pi_h),
+                                                pi_b2)
+            proof = finalize_proof(self, a, b1, b2, c_, h, r, s)
+            t.mark("finalize")
         self.last_phase_ms = t.report()
         return proof
 
@@ -191,7 +220,7 @@ class JaxUltraGrothProver:
     _msm_g2 = JaxGroth16Prover._msm_g2
     _quotient = JaxGroth16Prover._quotient
 
-    def __init__(self, zkey, mesh=None, axis: str = "data"):
+    def __init__(self, zkey, mesh=None, axis="data"):
         from .ultragroth import derive_challenge, finalize_ultragroth
         from .groth16 import random_blinding
         self.zk = zkey
@@ -253,6 +282,11 @@ class JaxUltraGrothProver:
 
     def prove(self, witness_words: np.ndarray, lookup, r0=None, r=None,
               s=None, abort_check=None):
+        from ..trace import profile_session
+        with profile_session("ultragroth-prove"):
+            return self._prove(witness_words, lookup, r0, r, s, abort_check)
+
+    def _prove(self, witness_words, lookup, r0, r, s, abort_check):
         from .groth16 import random_blinding
         from .ultragroth import derive_challenge, finalize_ultragroth
         from ..oracle import curve as oc
@@ -268,48 +302,42 @@ class JaxUltraGrothProver:
         w_std = jnp.asarray(lb.words_to_planes(witness_words))
 
         # round 0: commitment over the challenge-independent slice
-        d_dev = self._msm_g1(self.round_points_c,
-                             w_std[:, self.round_indexes],
-                             c=dmsm.default_window(len(self.round_indexes)))
-        d = xyzz_to_oracle_g1(d_dev)
-        d = oc.g1_add(d, oc.g1_mul(self.final_delta1, r0))
-        rand = derive_challenge(d)
-        t.mark("round0_commit")
+        def round0():
+            d_dev = self._msm_g1(
+                self.round_points_c, w_std[:, self.round_indexes],
+                c=dmsm.default_window(len(self.round_indexes)))
+            d = xyzz_to_oracle_g1(d_dev)
+            return oc.g1_add(d, oc.g1_mul(self.final_delta1, r0))
 
-        w_std = self._lookup_scatter(w_std, lookup.chunks, lookup.frequencies,
-                                     lookup.wtns_indxs, lookup.push_indxs,
-                                     rand)
+        d = t.run("round0_commit", round0)
+        rand = derive_challenge(d)
+
+        w_std = t.run("lookup", lambda: self._lookup_scatter(
+            w_std, lookup.chunks, lookup.frequencies, lookup.wtns_indxs,
+            lookup.push_indxs, rand))
         FR = fr()
         w_mont = FR.to_mont(w_std)
-        t.mark("lookup", w_mont)
 
-        pi_a = self._msm_g1(self.points_a, w_std, c=self.c_vars)
-        t.mark("msm_a", pi_a)
-        pi_b1 = self._msm_g1(self.points_b1, w_std, c=self.c_vars)
-        t.mark("msm_b1", pi_b1)
-        pi_b2 = self._msm_g2(self.points_b2, w_std, c=self.c_vars)
-        t.mark("msm_b2", pi_b2)
-        pi_c = self._msm_g1(self.final_points_c,
-                            w_std[:, self.final_indexes],
-                            c=dmsm.default_window(len(self.final_indexes)))
-        t.mark("msm_c", pi_c)
+        pi_a = t.run("msm_a", lambda: self._msm_g1(
+            self.points_a, w_std, c=self.c_vars))
+        pi_b1 = t.run("msm_b1", lambda: self._msm_g1(
+            self.points_b1, w_std, c=self.c_vars))
+        pi_b2 = t.run("msm_b2", lambda: self._msm_g2(
+            self.points_b2, w_std, c=self.c_vars))
+        pi_c = t.run("msm_c", lambda: self._msm_g1(
+            self.final_points_c, w_std[:, self.final_indexes],
+            c=dmsm.default_window(len(self.final_indexes))))
 
-        a, b = dntt.scatter_coefs(w_mont, self.coef_val_mont, self.coef_m,
-                                  self.coef_c, self.coef_s, zk.domain_size)
-        t.mark("scatter", (a, b))
-        h_std = self._quotient(a, b)
-        t.mark("quotient", h_std)
-        pi_h = self._msm_g1(self.points_h, h_std, c=self.c_h)
-        t.mark("msm_h", pi_h)
+        a, b = t.run("scatter", lambda: dntt.scatter_coefs(
+            w_mont, self.coef_val_mont, self.coef_m, self.coef_c,
+            self.coef_s, zk.domain_size))
+        h_std = t.run("quotient", lambda: self._quotient(a, b))
+        pi_h = t.run("msm_h", lambda: self._msm_g1(
+            self.points_h, h_std, c=self.c_h))
 
-        proof = finalize_ultragroth(
-            self,
-            xyzz_to_oracle_g1(pi_a),
-            xyzz_to_oracle_g1(pi_b1),
-            xyzz_to_oracle_g2(pi_b2),
-            xyzz_to_oracle_g1(pi_c),
-            xyzz_to_oracle_g1(pi_h),
-            d, r0, r, s)
+        (a_, b1_, c_, h_), b2_ = _oracle_points((pi_a, pi_b1, pi_c, pi_h),
+                                                pi_b2)
+        proof = finalize_ultragroth(self, a_, b1_, b2_, c_, h_, d, r0, r, s)
         t.mark("finalize")
         self.last_phase_ms = t.report()
         # return final witness values for public-signal extraction

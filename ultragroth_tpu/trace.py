@@ -14,6 +14,7 @@ The last prove's per-phase milliseconds are kept on the prover as
 """
 from __future__ import annotations
 
+import contextlib
 import os
 import sys
 import time
@@ -21,6 +22,38 @@ import time
 
 def _env_enabled() -> bool:
     return os.environ.get("ULTRAGROTH_TRACE", "") not in ("", "0", "off")
+
+
+def _profile_dir() -> str | None:
+    """ULTRAGROTH_PROFILE=<dir>: capture a jax.profiler trace of each
+    prove into <dir> (open with xprof/tensorboard).  This is the SURVEY
+    section 5 "TPU equivalent" of the reference's wall-clock prints:
+    named phase annotations + the full XLA op timeline."""
+    d = os.environ.get("ULTRAGROTH_PROFILE", "")
+    return d if d not in ("", "0", "off") else None
+
+
+def annotate(name: str):
+    """Host-side xprof annotation around one prover phase.  A no-op
+    nullcontext unless profiling is on — TraceAnnotation never touches
+    the jaxpr, so toggling it cannot invalidate compile caches."""
+    if _profile_dir() is None:
+        return contextlib.nullcontext()
+    import jax.profiler
+    return jax.profiler.TraceAnnotation(name)
+
+
+@contextlib.contextmanager
+def profile_session(label: str):
+    """jax.profiler.trace around a whole prove when ULTRAGROTH_PROFILE is
+    set; otherwise free."""
+    d = _profile_dir()
+    if d is None:
+        yield
+        return
+    import jax.profiler
+    with jax.profiler.trace(os.path.join(d, label)):
+        yield
 
 
 def _sync(value) -> None:
@@ -60,6 +93,14 @@ class Tracer:
         self.abort_check = abort_check
         self.phase_ms: dict[str, float] = {}
         self._t0 = time.perf_counter() if self.enabled else 0.0
+
+    def run(self, name: str, fn):
+        """Run one phase: fn() under an xprof annotation (when profiling),
+        then mark(name, result).  Returns fn()'s result."""
+        with annotate(f"{self.label}:{name}"):
+            out = fn()
+        self.mark(name, out)
+        return out
 
     def mark(self, name: str, value=None) -> None:
         """Record time since the previous mark; syncs on `value` first."""
