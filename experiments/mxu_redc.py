@@ -166,12 +166,12 @@ def jax_mont_mul_mxu(a16, b16):
     """
     import jax.numpy as jnp
     B = a16.shape[1:]
-    # 1. byte split -> f32 [32, B]
+    # 1. byte split -> f32 [32, B] (u32->f32 via int32: Mosaic-safe)
     def split(x):
         planes = []
         for l in range(16):
-            planes.append((x[l] & 0xFF).astype(jnp.float32))
-            planes.append((x[l] >> 8).astype(jnp.float32))
+            planes.append((x[l] & 0xFF).astype(jnp.int32).astype(jnp.float32))
+            planes.append((x[l] >> 8).astype(jnp.int32).astype(jnp.float32))
         return planes
     af, bf = split(a16), split(b16)
     bstack = jnp.stack(bf)                            # [32, B]
@@ -192,6 +192,13 @@ def jax_mont_mul_mxu(a16, b16):
             x[p + 1] = x[p + 1] + (b1 - b2 * 256.0)
         if p + 2 < 34:
             x[p + 2] = x[p + 2] + b2
+    # ripple X to exact bytes <= 255: DEFAULT-precision f32 matmul is
+    # single-pass bf16 on the MXU and bf16 is exact only up to 2^8
+    c = jnp.zeros(B, jnp.float32)
+    for p in range(32):                # final carry dropped = mod 2^256
+        s = x[p] + c
+        c = jnp.floor(s * (1.0 / 256.0))
+        x[p] = s - c * 256.0
     xstack = jnp.stack(x[:32])                        # [32, B]
     # 3b. m_cs = Np @ X
     m_cs = jnp.dot(jnp.asarray(NP_MAT), xstack.reshape(32, -1),
@@ -217,10 +224,11 @@ def jax_mont_mul_mxu(a16, b16):
     hi = out[32:] + [c]                               # 35 byte planes < 2p
     # repack to u32 16-bit limb planes (17 needed pre-subtract; value < 2p
     # < 2^255 so byte 33/34 fold into limb 16 which stays < 2^16)
+    f2u = lambda v: v.astype(jnp.int32).astype(jnp.uint32)
     limbs = []
     for l in range(17):
-        lo = hi[2 * l].astype(jnp.uint32)
-        hi8 = (hi[2 * l + 1].astype(jnp.uint32)
+        lo = f2u(hi[2 * l])
+        hi8 = (f2u(hi[2 * l + 1])
                if 2 * l + 1 < len(hi) else jnp.zeros(B, jnp.uint32))
         limbs.append(lo | (hi8 << 8))
     ext = jnp.stack(limbs)                            # [17, B] u32
@@ -243,8 +251,8 @@ def _kernel_body(a16, b16, npm, ptm, pp):
     def split(xs):
         planes = []
         for l in range(16):
-            planes.append((xs[l] & 0xFF).astype(jnp.float32))
-            planes.append((xs[l] >> 8).astype(jnp.float32))
+            planes.append((xs[l] & 0xFF).astype(jnp.int32).astype(jnp.float32))
+            planes.append((xs[l] >> 8).astype(jnp.int32).astype(jnp.float32))
         return planes
 
     af, bf = split(a16), split(b16)
@@ -262,6 +270,11 @@ def _kernel_body(a16, b16, npm, ptm, pp):
         x[p] = x[p] + (tp - b1 * 256.0)
         x[p + 1] = x[p + 1] + (b1 - b2 * 256.0)
         x[p + 2] = x[p + 2] + b2
+    c = jnp.zeros(blk, jnp.float32)
+    for p in range(32):                # exact bytes: bf16-exact MXU dot
+        s = x[p] + c
+        c = jnp.floor(s * (1.0 / 256.0))
+        x[p] = s - c * 256.0
     xstack = jnp.stack(x[:32])
     m_cs = jnp.dot(npm, xstack, preferred_element_type=jnp.float32)
     m = []
@@ -278,10 +291,11 @@ def _kernel_body(a16, b16, npm, ptm, pp):
         c = jnp.floor(s * (1.0 / 256.0))
         out.append(s - c * 256.0)
     hi = out[32:] + [c]
+    f2u = lambda v: v.astype(jnp.int32).astype(jnp.uint32)
     limbs = []
     for l in range(17):
-        lo8 = hi[2 * l].astype(jnp.uint32)
-        h8 = (hi[2 * l + 1].astype(jnp.uint32)
+        lo8 = f2u(hi[2 * l])
+        h8 = (f2u(hi[2 * l + 1])
               if 2 * l + 1 < len(hi) else jnp.zeros(blk, jnp.uint32))
         limbs.append(lo8 | (h8 << 8))
     ext = jnp.stack(limbs)
@@ -405,8 +419,8 @@ def time_tpu(log_batch: int = 20):
             print(f"{name}: ERROR {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
 
-    timeit("fused CIOS kernel (baseline)",
-           jax.jit(lambda x, y: kernels.fr_mont_mul(x, y)))
+    cios = kernels.fr_mont_mul()      # cached factory -> the kernel fn
+    timeit("fused CIOS kernel (baseline)", lambda x, y: cios(x, y))
     timeit("MXU-REDC fused pallas b=1024",
            jax.jit(lambda x, y: pallas_mont_mul_mxu(x, y, block=1024)))
     timeit("MXU-REDC fused pallas b=512",

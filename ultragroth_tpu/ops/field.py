@@ -352,14 +352,6 @@ class FieldOps:
         return _KernelFieldView(self)
 
 
-def _mxu_field() -> bool:
-    """ULTRAGROTH_MXU_FIELD=1 (read at trace time) switches kernel-mode
-    mont_mul to the matmul-REDC form (ops/mxufield.py): constant-Toeplitz
-    MXU dots for the reduction, f32 byte-limb schoolbook on the VPU."""
-    import os
-    return os.environ.get("ULTRAGROTH_MXU_FIELD", "") not in ("", "0")
-
-
 class _KernelFieldView:
     fuse_stacks = False  # see CurveOps._mul_many
 
@@ -368,8 +360,11 @@ class _KernelFieldView:
         self.p = F.p
 
     def mont_mul(self, a, b):
-        if _mxu_field():
-            from . import mxufield
+        # ULTRAGROTH_MXU_FIELD=1 (read at trace time) switches kernel-mode
+        # mont_mul to the matmul-REDC form (ops/mxufield.py): constant-
+        # Toeplitz MXU dots for the reduction, f32 byte-limb schoolbook.
+        from . import mxufield
+        if mxufield.enabled():
             return mxufield.mont_mul_mxu(self._F, a, b)
         return self._F._mont_mul(a, b, unroll=True)
 

@@ -14,12 +14,22 @@ Pipeline (mirrors the validated prototype, experiments/mxu_redc.py):
   1. byte-split a, b: 16 u16 planes -> 32 f32 byte planes each.
   2. f32 schoolbook: 1024 plane-FMAs into 63 carry-save anti-diagonal
      planes t (entries <= 32*255^2 < 2^21).  No masks/shifts.
-  3. byte-split t (3 bytes each, overlapped: X entries <= 541) and
-     m_cs = Np[32,32] @ X[:32]  (MXU; sums <= 32*541*255 < 2^23).
+  3. byte-split t (3 bytes each, overlapped: entries <= 541), then
+     RIPPLE to exact bytes <= 255 (mod 2^256: final carry dropped) and
+     m_cs = Np[32,32] @ X  (MXU; sums <= 32*255*255 < 2^21).  The
+     ripple is mandatory for the MXU, not a nicety: DEFAULT-precision
+     f32 matmuls run as single-pass bf16 on TPU, and bf16 represents
+     integers only up to 2^8 exactly — operands <= 255 keep both dots
+     bit-exact in one MXU pass (products exact given exact bf16 inputs;
+     f32 accumulation of sums < 2^24 exact).
   4. 32-step ripple -> exact m bytes (drop carry = mod 2^256).
   5. mp = Pt[64,32] @ m  (MXU; sums <= 32*255^2 < 2^21).
   6. T = t + mp: ripple 66 byte positions (low 32 vanish mod 2^256),
      repack high half to u16 limbs, one conditional subtract.
+
+All u32<->f32 conversions route through int32 (values < 2^24): Mosaic
+has no uint32<->float32 cast (probed on v5e, experiments/queue_r2c.log
+"Unsupported cast: uint32 -> float32").
 
 VPU op-count model: ~1700 plane-ops/element vs ~4400 measured for the
 fused 16x16 CIOS kernel (512 u32 muls + mask/shift/add chains); the
@@ -46,7 +56,20 @@ F32 = jnp.float32
 
 
 def enabled() -> bool:
+    """ULTRAGROTH_MXU_FIELD=1 (read at trace time) switches kernel-mode
+    mont_mul to this matmul-REDC form.  Single source of truth for the
+    flag (field._KernelFieldView consults it lazily)."""
     return os.environ.get("ULTRAGROTH_MXU_FIELD", "") not in ("", "0")
+
+
+def _u2f(x):
+    """u32 -> f32 via int32 (Mosaic-safe; values < 2^24)."""
+    return x.astype(jnp.int32).astype(F32)
+
+
+def _f2u(x):
+    """f32 -> u32 via int32 (Mosaic-safe; values < 2^24, non-negative)."""
+    return x.astype(jnp.int32).astype(jnp.uint32)
 
 
 def _toeplitz_bytes(byte_vals, rows: int, cols: int):
@@ -75,8 +98,8 @@ def mont_mul_mxu(F: "fld.FieldOps", a, b):
     def split(x16):
         planes = []
         for l in range(fld.L):
-            planes.append((x16[l] & 0xFF).astype(F32))
-            planes.append((x16[l] >> 8).astype(F32))
+            planes.append(_u2f(x16[l] & 0xFF))
+            planes.append(_u2f(x16[l] >> 8))
         return planes
 
     af, bf = split(a), split(b)
@@ -89,7 +112,8 @@ def mont_mul_mxu(F: "fld.FieldOps", a, b):
         for j in range(32):
             t[i + j] = t[i + j] + prod[j]
 
-    # 3. byte-split t -> X, then m_cs = Np @ X  (MXU)
+    # 3. byte-split t -> X (entries <= 541), ripple to exact bytes
+    # (<= 255: single-pass-bf16 MXU exactness), then m_cs = Np @ X
     x = [jnp.zeros(batch, F32) for _ in range(34)]
     for p_ in range(32):
         tp = t[p_]
@@ -98,6 +122,11 @@ def mont_mul_mxu(F: "fld.FieldOps", a, b):
         x[p_] = x[p_] + (tp - b1 * 256.0)
         x[p_ + 1] = x[p_ + 1] + (b1 - b2 * 256.0)
         x[p_ + 2] = x[p_ + 2] + b2
+    c = jnp.zeros(batch, F32)
+    for p_ in range(32):                  # final carry dropped = mod 2^256
+        s = x[p_] + c
+        c = jnp.floor(s * (1.0 / 256.0))
+        x[p_] = s - c * 256.0
     xstack = jnp.stack(x[:32]).reshape(32, -1)
     npm = _toeplitz_bytes(np_bytes, 32, 32)
     m_cs = jnp.dot(npm, xstack,
@@ -126,8 +155,8 @@ def mont_mul_mxu(F: "fld.FieldOps", a, b):
     hi = out[32:] + [c]                                 # 35 bytes, < 2p
     limbs = []
     for l in range(17):
-        lo8 = hi[2 * l].astype(jnp.uint32)
-        h8 = (hi[2 * l + 1].astype(jnp.uint32)
+        lo8 = _f2u(hi[2 * l])
+        h8 = (_f2u(hi[2 * l + 1])
               if 2 * l + 1 < len(hi) else jnp.zeros(batch, jnp.uint32))
         limbs.append(lo8 | (h8 << 8))
     ext = jnp.stack(limbs)                              # [17, *batch] u32
