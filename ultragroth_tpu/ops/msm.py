@@ -67,7 +67,7 @@ import numpy as np
 from ..constants import FR_MODULUS
 from .curve import CurveOps, g1_ops, g2_ops
 from . import kernels
-from .limbs import LIMB_BITS, NLIMBS
+from .limbs import LIMB_BITS, LIMB_MASK as MASK, NLIMBS
 
 L = NLIMBS
 SCALAR_BITS = 254          # BN254 r bit length
@@ -137,7 +137,14 @@ def _pack_points_planes(x, y):
     the bucket loop's per-step fetch is then a single axis-1 gather
     feeding the madd kernel without any transpose.  Infinity table points
     are excluded at the digit stage (sort sentinel), so no flag row rides
-    along."""
+    along.
+
+    NOT bit-packed: a two-limbs-per-u32 variant (halving gather bytes)
+    was measured at 2x SLOWER full-MSM on v5e (1242.8 ms vs 644.5 ms at
+    2^18/c=13, experiments/measure_r3b.log phase B vs queue_r2c.log) —
+    TPU random-gather cost is per ROW-INDEX, independent of row width
+    (PERF.md "366 ns/row regardless of row width"), so the packing saved
+    nothing and the per-step interleave-unpack added a relayout pass."""
     leaves = jax.tree_util.tree_leaves(x) + jax.tree_util.tree_leaves(y)
     rows = [r if r.ndim == 2 else r[None] for r in leaves]
     return jnp.concatenate(

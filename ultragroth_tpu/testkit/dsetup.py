@@ -80,7 +80,11 @@ def _fb_table_packed(group: str) -> np.ndarray:
                   for i in range(2))
         y = tuple(_mont_planes_fq([0 if p is None else p[1][i] for p in pts])
                   for i in range(2))
-    return np.asarray(_pack_points_planes(x, y, inf))
+    # coordinate planes + an infinity-flag row (the MSM's packer dropped
+    # its flag row when the digit stage took over infinity handling; the
+    # fixed-base table keeps one because d == 0 entries ARE infinity)
+    packed = np.asarray(_pack_points_planes(x, y))
+    return np.concatenate([packed, inf[None].astype(np.uint32)], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("group",))
@@ -101,7 +105,9 @@ def _fb_run(packed, scalars_std, group: str):
     def body(acc, xs):
         off, d = xs
         idx = (off + d).astype(jnp.int32)
-        gx, gy, ginf = _unpack_cols(packed[:, idx], x_like, y_like)
+        cols = packed[:, idx]
+        gx, gy = _unpack_cols(cols[:-1], x_like, y_like)
+        ginf = cols[-1] != 0
         return madd(acc, gx, gy, ginf), None
 
     acc, _ = jax.lax.scan(body, ops.inf_xyzz((n,)), (offs, digits))
