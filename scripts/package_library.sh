@@ -26,7 +26,8 @@ echo "== staging $STAGE"
 rm -rf "$STAGE"
 mkdir -p "$STAGE/lib" "$STAGE/include/ultragroth" "$STAGE/lib/pkgconfig"
 cp "$REPO/ultragroth_tpu/_native/libultragroth.so" \
-   "$REPO/ultragroth_tpu/_native/libultragroth_io.so" "$STAGE/lib/"
+   "$REPO/ultragroth_tpu/_native/libultragroth_io.so" \
+   "$REPO/ultragroth_tpu/_native/libultragroth_remote.so" "$STAGE/lib/"
 cp "$REPO"/native/include/ultragroth/*.h "$STAGE/include/ultragroth/"
 
 cat > "$STAGE/lib/pkgconfig/ultragroth.pc" <<EOF
@@ -47,6 +48,9 @@ cat > "$STAGE/README.md" <<'EOF'
 Contents:
   lib/libultragroth.so     prover + verifier C ABI (see include/)
   lib/libultragroth_io.so  mmap/binfile/keccak helpers
+  lib/libultragroth_remote.so  mobile client: same prover.h ABI, proofs
+                           fetched from the ultragroth_tpu proof server
+                           (set ULTRAGROTH_SERVER=host:port)
   include/ultragroth/      prover.h, verifier.h (reference-ABI twins)
   lib/pkgconfig/           pkg-config metadata
 
