@@ -16,9 +16,9 @@ the shared dict the moment it completes.
 
 MSM metric inputs are DISTINCT points (k*G for distinct k via the batched
 fixed-base mul): tiling a small point set repeats points inside buckets,
-which trips the incomplete-madd exception flag and redoes whole drains
-through the complete formula (~1.8x) — real MSMs never pay that, so the
-tiled metric under-reported by that factor in rounds 1-2.
+which can trip the incomplete-madd exception flag and redo whole drains
+through the complete formula (measured 1.06x at 2^18 — small, but real
+MSMs never pay it; experiments/measure_r3b.log).
 
 The reference publishes no quantitative numbers (BASELINE.md) -
 vs_baseline is reported against the BASELINE.json north-star target of
@@ -153,7 +153,10 @@ def _distinct_g1_points(jax, log_n: int):
     n = 1 << log_n
     ks = lb.u32_to_planes(np.arange(1, n + 1, dtype=np.uint32))
     x, y, inf = _fixed_base_points("g1", ks)
-    return x, y, inf
+    # host round trip: device-computed arrays can carry non-default
+    # layouts that specialize (and re-compile) the MSM program; np
+    # provenance keeps the program identical to prover-shaped inputs
+    return np.asarray(x), np.asarray(y), np.asarray(inf)
 
 
 def bench_msm_g1(jax, log_n: int, c: int, iters: int = 3):
@@ -178,6 +181,9 @@ def bench_msm_g2(jax, log_n: int, c: int, iters: int = 2):
     n = 1 << log_n
     ks = lb.u32_to_planes(np.arange(1, n + 1, dtype=np.uint32))
     x, y, inf = _fixed_base_points("g2", ks)
+    x = tuple(np.asarray(c) for c in x)
+    y = tuple(np.asarray(c) for c in y)
+    inf = np.asarray(inf)
     scalars = _rand_scalars(log_n, 11)
     x, y, inf, scalars = _stage(jax, x, y, inf, scalars)
     _sync(dmsm.msm_g2(x, y, inf, scalars, c=c))
