@@ -119,7 +119,7 @@ def _run_child(env_extra):
     env.pop("JAX_PLATFORMS", None)
     repo = pathlib.Path(__file__).resolve().parent.parent
     res = subprocess.run([sys.executable, "-c", _CHILD], cwd=repo, env=env,
-                         capture_output=True, text=True, timeout=2400)
+                         capture_output=True, text=True, timeout=5400)
     assert res.returncode == 0, res.stderr[-3000:]
     return json.loads(res.stdout.strip().splitlines()[-1])
 
