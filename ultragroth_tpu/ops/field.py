@@ -20,6 +20,7 @@ naive unrolled form.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,21 @@ from .limbs import LIMB_BITS, LIMB_MASK, NLIMBS, int_to_limbs
 L = NLIMBS
 MASK = LIMB_MASK
 U32 = jnp.uint32
+
+
+def lazy_enabled() -> bool:
+    """ULTRAGROTH_LAZY=1 (read at trace time) switches the Fq kernel-mode
+    field ops to LAZY REDUCTION: values live in [0, 2p) and mont_mul skips
+    its canonicalizing conditional subtract (sound because 4p < R = 2^256
+    for BN254, so CIOS output (a*b + m*p)/R < 2p whenever a, b < 2p).
+    add/sub reduce against 2p instead of p and is_zero recognizes both
+    residue-zero representatives {0, p}.  Fr kernels (the NTT path) are
+    NOT affected — only the Fq/Fq2 curve kernels, whose consumers
+    (ops/msm.py) canonicalize the final MSM point.
+
+    Like ULTRAGROTH_MXU_FIELD, flip it before the first trace of a
+    program: compiled programs keep whichever mode they were traced in."""
+    return os.environ.get("ULTRAGROTH_LAZY", "0") == "1"
 
 
 def _carry_chain(gen, prop):
@@ -108,6 +124,7 @@ class FieldOps:
         self.p = modulus
         self.name = name
         self.p_limbs = [int(x) for x in int_to_limbs(modulus)]
+        self.p2_limbs = [int(x) for x in int_to_limbs(2 * modulus)]
         self.p_planes = np.asarray(int_to_limbs(modulus), np.uint32).reshape(L, 1)
         self.ninv = (-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
         self.r = (1 << 256) % modulus
@@ -142,26 +159,55 @@ class FieldOps:
         z = jnp.zeros(tuple(batch_shape), U32)
         return jnp.stack([z + int(v) for v in self.p_limbs])
 
+    def _p2_bc(self, batch_shape):
+        """2p as limb planes (the lazy-domain reduction constant)."""
+        z = jnp.zeros(tuple(batch_shape), U32)
+        return jnp.stack([z + int(v) for v in self.p2_limbs])
+
     # -- comparison helpers ------------------------------------------------
 
     def is_zero(self, a):
         return jnp.all(a == 0, axis=0)
+
+    def _is_zero_lazy(self, a):
+        """Residue-zero test for lazy-domain values in [0, 2p): the only
+        representatives of 0 are 0 and p.  Per-limb scalar-literal
+        compares (no captured const arrays — Pallas-safe)."""
+        z = jnp.all(a == 0, axis=0)
+        pp = a[0] == U32(self.p_limbs[0])
+        for j in range(1, L):
+            pp = pp & (a[j] == U32(self.p_limbs[j]))
+        return z | pp
+
+    def canon(self, a, unroll: bool = False):
+        """Canonicalize a lazy-domain value in [0, 2p) to [0, p): one
+        conditional subtract of p.  Identity on already-canonical
+        values, so callers may apply it unconditionally at kernel-exit
+        boundaries."""
+        d, borrow = _sub_cla(a, self._p_bc(a.shape[1:]), unroll)
+        return jnp.where((borrow == 0)[None], d, a)
 
     def eq(self, a, b):
         return jnp.all(a == b, axis=0)
 
     # -- modular add / sub / neg ------------------------------------------
 
-    def _add(self, a, b, unroll: bool = False):
+    def _add(self, a, b, unroll: bool = False, lazy: bool = False):
+        """lazy=True: inputs/outputs in [0, 2p) — reduce against 2p.
+        a + b < 4p < 2^256, so the exact add never loses a carry."""
         a, b = jnp.broadcast_arrays(a, b)
         s = _add_cla(a, b, unroll)
-        d, borrow = _sub_cla(s, self._p_bc(s.shape[1:]), unroll)
+        red = self._p2_bc(s.shape[1:]) if lazy else self._p_bc(s.shape[1:])
+        d, borrow = _sub_cla(s, red, unroll)
         return jnp.where((borrow == 0)[None], d, s)
 
-    def _sub(self, a, b, unroll: bool = False):
+    def _sub(self, a, b, unroll: bool = False, lazy: bool = False):
+        """lazy=True: a - b + 2p on borrow keeps the result in [0, 2p)
+        for any a, b in [0, 2p) — including p-representatives of zero."""
         a, b = jnp.broadcast_arrays(a, b)
         d, borrow = _sub_cla(a, b, unroll)
-        fixed = _add_cla(d, self._p_bc(d.shape[1:]), unroll)
+        red = self._p2_bc(d.shape[1:]) if lazy else self._p_bc(d.shape[1:])
+        fixed = _add_cla(d, red, unroll)
         return jnp.where((borrow != 0)[None], fixed, d)
 
     def _neg(self, a):
@@ -178,8 +224,15 @@ class FieldOps:
 
     # -- Montgomery multiplication (CIOS, carry-save) ----------------------
 
-    def _mont_mul(self, a, b, unroll: bool = False):
+    def _mont_mul(self, a, b, unroll: bool = False, lazy: bool = False):
         """(a * b * R^-1) mod p, batched redundant-limb CIOS.
+
+        lazy=True (kernel-mode lazy reduction): accepts a, b in [0, 2p)
+        and returns a representative in [0, 2p) WITHOUT the canonicalizing
+        conditional subtract — sound because 4p < R = 2^256 for BN254, so
+        t = (a*b + m*p)/R < (4p^2 + Rp)/R < 2p.  Saves the final unrolled
+        16-limb subtract + select per multiply (~25% of the kernel-mode
+        mont_mul cost; PERF.md round-3 floor analysis).
 
         Per outer limb i: split the vector products a_i * b and m * p into
         16-bit halves and accumulate them carry-save into a redundant
@@ -267,6 +320,10 @@ class FieldOps:
 
             _, planes = jax.lax.scan(ripple, jnp.zeros(batch, U32), t)
 
+        if lazy:
+            # value < 2p < 2^255 when a, b < 2p: planes[L] == 0, the
+            # 16 low planes ARE the lazy-domain representative
+            return planes[:L]
         # value < 2p < 2^255: planes[L] in {0, 1}
         lo = planes[:L]
         d, borrow = _sub_cla(lo, self._p_bc(batch), unroll)
@@ -358,6 +415,13 @@ class _KernelFieldView:
     def __init__(self, F: FieldOps):
         self._F = F
         self.p = F.p
+        # lazy reduction is scoped to the Fq (curve/MSM) kernels; the Fr
+        # kernels (NTT butterflies) keep canonical outputs so the mixed
+        # kernel/rolled quotient pipeline needs no domain audit
+        self._lazy_ok = F.p == FQ_MODULUS
+
+    def _lazy(self) -> bool:
+        return self._lazy_ok and lazy_enabled()
 
     def mont_mul(self, a, b):
         # ULTRAGROTH_MXU_FIELD=1 (read at trace time) switches kernel-mode
@@ -366,24 +430,27 @@ class _KernelFieldView:
         from . import mxufield
         if mxufield.enabled():
             return mxufield.mont_mul_mxu(self._F, a, b)
-        return self._F._mont_mul(a, b, unroll=True)
+        return self._F._mont_mul(a, b, unroll=True, lazy=self._lazy())
 
     def mont_sqr(self, a):
         return self.mont_mul(a, a)
 
     def add(self, a, b):
-        return self._F._add(a, b, unroll=True)
+        return self._F._add(a, b, unroll=True, lazy=self._lazy())
 
     def sub(self, a, b):
-        return self._F._sub(a, b, unroll=True)
+        return self._F._sub(a, b, unroll=True, lazy=self._lazy())
 
     def neg(self, a):
-        return self._F._sub(self._F.zero(a.shape[1:]), a, unroll=True)
+        return self._F._sub(self._F.zero(a.shape[1:]), a, unroll=True,
+                            lazy=self._lazy())
 
     def half(self, a):
         return self._F._half(a)
 
     def is_zero(self, a):
+        if self._lazy():
+            return self._F._is_zero_lazy(a)
         return self._F.is_zero(a)
 
     def eq(self, a, b):

@@ -77,6 +77,17 @@ def _tree_map(fn, *pts):
     return jax.tree_util.tree_map(fn, *pts)
 
 
+def _lazy_kernels() -> bool:
+    """True when the Fq curve kernels emit LAZY [0, 2p) representatives
+    (ULTRAGROTH_LAZY=1 on a kernel-path backend; ops/field.lazy_enabled).
+    The MSM then (a) negates banked bucket halves with the lazy-domain
+    sub and (b) canonicalizes its final point, so nothing lazy ever
+    escapes to rolled-op consumers (to_affine, prover combinations)."""
+    from .field import lazy_enabled
+    from .fuse import _use_pallas
+    return lazy_enabled() and _use_pallas()
+
+
 def _window_digits(scalars, w: int, c: int):
     """Digit (bits [w*c, w*c+c)) of each scalar; scalars: [L, N] u32."""
     if c == LIMB_BITS:
@@ -390,6 +401,10 @@ def _msm(ops: CurveOps, group: str, x, y, inf, scalars, c: int,
         n_windows += 1      # spare window absorbs the signed-recode carry
     n_buckets = 1 << (c - 1)
     add_where = kernels.curve_add_where(group)
+    # under lazy reduction the bucket values are [0, 2p) representatives:
+    # the reduction's neg must be the lazy-domain one (kernel view); the
+    # plain rolled neg mis-wraps representatives above p
+    red_ops = kernels._kernel_curve(group) if _lazy_kernels() else ops
     packed = _pack_points_planes(x, y)
     splits = [_split_factor(w, c) for w in range(n_windows)]
 
@@ -427,7 +442,7 @@ def _msm(ops: CurveOps, group: str, x, y, inf, scalars, c: int,
         for _ in range(split.bit_length() - 1):
             g = _fold_pairs(add_where, g)
         totals = _weighted_totals(
-            ops, add_where, g, n_buckets // split)       # leaves [L, Wg]
+            red_ops, add_where, g, n_buckets // split)   # leaves [L, Wg]
         for i, w in enumerate(ws):
             wsums[w] = _tree_map(lambda t, i=i: t[..., i], totals)
 
@@ -444,7 +459,11 @@ def _msm(ops: CurveOps, group: str, x, y, inf, scalars, c: int,
     while m > 1:
         total = _fold_pairs(add_where, total)
         m //= 2
-    return _tree_map(lambda t: t[..., 0], total)
+    out = _tree_map(lambda t: t[..., 0], total)
+    if _lazy_kernels():
+        from .field import fq
+        out = _tree_map(lambda t: fq().canon(t), out)
+    return out
 
 
 def default_window(n: int) -> int:

@@ -18,7 +18,7 @@ from jax import shard_map
 
 from ..ops.curve import g1_ops, g2_ops
 from ..ops import kernels
-from ..ops.msm import _msm, _fold_pairs, _pad_pow2, _tree_map
+from ..ops.msm import _msm, _fold_pairs, _lazy_kernels, _pad_pow2, _tree_map
 from .mesh import axis_size
 
 
@@ -29,7 +29,13 @@ def _fold_gathered(ops, group, pts, n: int):
     while n > 1:
         pts = _fold_pairs(aw, pts)
         n //= 2
-    return _tree_map(lambda t: t[..., 0], pts)
+    out = _tree_map(lambda t: t[..., 0], pts)
+    if _lazy_kernels():
+        # the cross-shard fold kernel re-emits lazy representatives even
+        # though each shard's _msm canonicalized; canonicalize once more
+        from ..ops.field import fq
+        out = _tree_map(lambda t: fq().canon(t), out)
+    return out
 
 
 @functools.lru_cache(maxsize=None)
