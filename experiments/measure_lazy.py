@@ -21,7 +21,7 @@ import subprocess
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -48,7 +48,14 @@ def run_mode(mode: str) -> None:
     h = hashlib.sha256()
     for leaf in jax.tree_util.tree_leaves(out):
         h.update(np.asarray(leaf).tobytes())
-    print(f"  out sha256: {h.hexdigest()[:16]}", flush=True)
+    print(f"  out sha256 (xyzz): {h.hexdigest()[:16]}", flush=True)
+    # affine hash too: a raw-xyzz mismatch that canonicalizes to the same
+    # affine point is a representation change, not a correctness break
+    from ultragroth_tpu.ops.curve import g1_ops
+    ha = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(g1_ops().to_affine(out)):
+        ha.update(np.asarray(leaf).tobytes())
+    print(f"  out sha256 (affine): {ha.hexdigest()[:16]}", flush=True)
     if t:
         print(f"  rate: {(1 << 18) / t:,.0f} pts/s", flush=True)
 
@@ -60,6 +67,8 @@ if __name__ == "__main__":
     else:
         for m in modes:
             t0 = time.time()
-            subprocess.run([sys.executable, __file__, m],
-                           cwd=os.path.dirname(__file__), check=False)
-            print(f"[mode {m}: {time.time() - t0:.0f}s total]", flush=True)
+            p = subprocess.run([sys.executable, __file__, m],
+                               cwd=os.path.dirname(__file__), check=False)
+            status = "ok" if p.returncode == 0 else f"FAILED rc={p.returncode}"
+            print(f"[mode {m}: {time.time() - t0:.0f}s total, {status}]",
+                  flush=True)
