@@ -110,7 +110,10 @@ def _run_child(env_extra):
 
 
 def test_mxu_field_kernel_path_interpret():
+    # LAZY pinned off on both sides: raw-output bit-parity with the rolled
+    # path only holds in the canonical domain (see tests/test_lazy_field.py)
     got = _run_child({"ULTRAGROTH_PALLAS": "interpret",
-                      "ULTRAGROTH_MXU_FIELD": "1"})
-    want = _run_child({})
+                      "ULTRAGROTH_MXU_FIELD": "1",
+                      "ULTRAGROTH_LAZY": "0"})
+    want = _run_child({"ULTRAGROTH_LAZY": "0"})
     assert got == want, (got, want)

@@ -125,8 +125,12 @@ def _run_child(env_extra):
 
 
 def test_kernel_path_interpret_matches_rolled():
-    got = _run_child({"ULTRAGROTH_PALLAS": "interpret"})
-    want = _run_child({})
+    # LAZY pinned off: this test compares RAW kernel outputs against the
+    # rolled path bit-for-bit, which only holds in the canonical domain
+    # (the lazy-domain twin lives in tests/test_lazy_field.py)
+    got = _run_child({"ULTRAGROTH_PALLAS": "interpret",
+                      "ULTRAGROTH_LAZY": "0"})
+    want = _run_child({"ULTRAGROTH_LAZY": "0"})
     assert got == want, (got, want)
     # the block sweep must agree with the registry kernel
     for blk in (256, 1024):

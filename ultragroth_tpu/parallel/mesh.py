@@ -44,6 +44,13 @@ def distributed_init() -> bool:
     if not coord:
         return False
     import jax
+    try:
+        # cross-process collectives on the CPU backend (the multi-host
+        # smoke-test path, tests/test_distributed.py) need gloo; the flag
+        # is CPU-only and harmless for TPU pod slices
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     jax.distributed.initialize(
         coordinator_address=coord,
         num_processes=int(os.environ["ULTRAGROTH_NUM_PROCESSES"]),

@@ -111,6 +111,13 @@ def _fb_run(packed, scalars_std, group: str):
         return madd(acc, gx, gy, ginf), None
 
     acc, _ = jax.lax.scan(body, ops.inf_xyzz((n,)), (offs, digits))
+    # under lazy reduction the madd kernel emits [0, 2p) representatives;
+    # the ROLLED to_affine below (inv_mont's mont_mul assumes b < p) needs
+    # canonical inputs — same exit-boundary rule as ops/msm._msm
+    from ..ops.msm import _lazy_kernels
+    if _lazy_kernels():
+        from ..ops.field import fq
+        acc = jax.tree_util.tree_map(lambda t: fq().canon(t), acc)
     return ops.to_affine(acc)
 
 
