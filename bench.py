@@ -312,10 +312,18 @@ def main():
     ap.add_argument("--log-n", type=int, default=18)
     ap.add_argument("--window", type=int, default=13)
     ap.add_argument("--log-e2e", type=int, default=20)
-    ap.add_argument("--budget-s", type=float, default=1500,
+    ap.add_argument("--budget-s", type=float, default=3300,
                     help="hard wall-clock budget: the watchdog emits the "
                          "partial JSON line and exits 0 when it expires "
-                         "(remote-relay compiles can hang the main thread)")
+                         "(remote-relay compiles can hang the main thread). "
+                         "3300 covers one cold 2^18 MSM compile (~26 min "
+                         "via the relay) — persistent-cache hits across "
+                         "processes are NOT guaranteed for the big Mosaic "
+                         "programs (round-4 finding: an identical call "
+                         "recompiled to a different cache entry after the "
+                         "relay session changed), and the SIGTERM handler "
+                         "still emits partial results if the driver's own "
+                         "timeout strikes first")
     ap.add_argument("--only", nargs="*", default=None,
                     help="subset of phases: msm ntt quot prove g2 ultra e2e")
     args = ap.parse_args()
@@ -384,10 +392,18 @@ def main():
             OUT[f"{name}_skipped"] = "budget"
             continue
         OUT["_phase"] = name
+        t_ph = time.perf_counter()
         try:
             fn()
+            print(f"[bench] phase {name} done in "
+                  f"{time.perf_counter() - t_ph:.0f}s "
+                  f"(elapsed {time.perf_counter() - T0:.0f}s)",
+                  file=sys.stderr, flush=True)
         except Exception as e:  # noqa: BLE001
             OUT[f"{name}_error"] = str(e)[:200]
+            print(f"[bench] phase {name} ERROR after "
+                  f"{time.perf_counter() - t_ph:.0f}s: {str(e)[:120]}",
+                  file=sys.stderr, flush=True)
     OUT["_phase"] = None
 
     _emit_json()

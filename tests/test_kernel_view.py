@@ -20,7 +20,11 @@ RNG = random.Random(5)
 
 
 @pytest.mark.parametrize("F,p", [(fr(), FR_MODULUS), (fq(), FQ_MODULUS)])
-def test_kernel_view_field_ops(F, p):
+def test_kernel_view_field_ops(F, p, monkeypatch):
+    # canonical-domain bit-parity: ULTRAGROTH_LAZY defaults ON (round 4),
+    # under which the Fq kernel view legitimately emits [0, 2p)
+    # representatives — that mode is value-checked in test_lazy_field
+    monkeypatch.setenv("ULTRAGROTH_LAZY", "0")
     kv = F.kernel_view()
     n = 32
     a = [RNG.randrange(p) for _ in range(n)]

@@ -35,18 +35,25 @@ U32 = jnp.uint32
 
 
 def lazy_enabled() -> bool:
-    """ULTRAGROTH_LAZY=1 (read at trace time) switches the Fq kernel-mode
-    field ops to LAZY REDUCTION: values live in [0, 2p) and mont_mul skips
-    its canonicalizing conditional subtract (sound because 4p < R = 2^256
-    for BN254, so CIOS output (a*b + m*p)/R < 2p whenever a, b < 2p).
-    add/sub reduce against 2p instead of p and is_zero recognizes both
-    residue-zero representatives {0, p}.  Fr kernels (the NTT path) are
-    NOT affected — only the Fq/Fq2 curve kernels, whose consumers
-    (ops/msm.py) canonicalize the final MSM point.
+    """ULTRAGROTH_LAZY (read at trace time; DEFAULT ON since round 4)
+    switches the Fq kernel-mode field ops to LAZY REDUCTION: values live
+    in [0, 2p) and mont_mul skips its canonicalizing conditional subtract
+    (sound because 4p < R = 2^256 for BN254, so CIOS output
+    (a*b + m*p)/R < 2p whenever a, b < 2p).  add/sub reduce against 2p
+    instead of p and is_zero recognizes both residue-zero representatives
+    {0, p}.  Fr kernels (the NTT path) are NOT affected — only the Fq/Fq2
+    curve kernels, whose consumers canonicalize at every exit boundary
+    back to rolled ops (ops/msm._msm, parallel/msm._fold_gathered,
+    testkit/dsetup._fb_run).
+
+    Measured on v5e (experiments/queue_r4a.log): full 2^18/c=13 G1 MSM
+    993.7 ms lazy vs 1152.1 ms canonical (1.16x), affine output
+    bit-identical.  Set ULTRAGROTH_LAZY=0 for canonical kernel-domain
+    outputs (the raw-bit interpret parity tests pin this).
 
     Like ULTRAGROTH_MXU_FIELD, flip it before the first trace of a
     program: compiled programs keep whichever mode they were traced in."""
-    return os.environ.get("ULTRAGROTH_LAZY", "0") == "1"
+    return os.environ.get("ULTRAGROTH_LAZY", "1") == "1"
 
 
 def _carry_chain(gen, prop):
