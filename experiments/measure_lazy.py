@@ -29,7 +29,9 @@ import numpy as np
 def run_mode(mode: str) -> None:
     os.environ["ULTRAGROTH_LAZY"] = "1" if mode == "lazy" else "0"
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jax_cache_tpu"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import jax.numpy as jnp
