@@ -179,14 +179,23 @@ print(json.dumps(out))
 """
 
 
-def _run_lazy_child(env_extra):
+def _spawn_lazy_child(env_extra):
     env = dict(os.environ, **env_extra)
     env.pop("JAX_PLATFORMS", None)
     repo = pathlib.Path(__file__).resolve().parent.parent
-    res = subprocess.run([sys.executable, "-c", _CHILD], cwd=repo, env=env,
-                         capture_output=True, text=True, timeout=8100)
-    assert res.returncode == 0, res.stderr[-3000:]
-    return json.loads(res.stdout.strip().splitlines()[-1])
+    return subprocess.Popen([sys.executable, "-c", _CHILD], cwd=repo,
+                            env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+
+
+def _join_lazy_child(proc, timeout=14000):
+    try:
+        out, err = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise
+    assert proc.returncode == 0, err[-3000:]
+    return json.loads(out.strip().splitlines()[-1])
 
 
 @pytest.mark.slow
@@ -201,8 +210,19 @@ def test_lazy_interpret_kernels_match_canonical():
     compiles that exceed 90 minutes — tests/pytest_r3c.log.  The MSM
     composition itself is covered on the rolled path by test_ntt_msm and
     on real hardware by the bench oracle checks.)"""
-    got = _run_lazy_child({"ULTRAGROTH_PALLAS": "interpret",
-                           "ULTRAGROTH_LAZY": "1"})
-    want = _run_lazy_child({"ULTRAGROTH_PALLAS": "interpret",
-                            "ULTRAGROTH_LAZY": "0"})
+    # the two children are independent single-compile-at-a-time processes:
+    # run them CONCURRENTLY (halves wall time; the round-4 full-suite run
+    # lost this file to the serial 8100 s timeout under box contention,
+    # experiments/pytest_r4.log)
+    p_lazy = _spawn_lazy_child({"ULTRAGROTH_PALLAS": "interpret",
+                                "ULTRAGROTH_LAZY": "1"})
+    p_base = _spawn_lazy_child({"ULTRAGROTH_PALLAS": "interpret",
+                                "ULTRAGROTH_LAZY": "0"})
+    try:
+        got = _join_lazy_child(p_lazy)
+        want = _join_lazy_child(p_base)
+    finally:
+        for p in (p_lazy, p_base):
+            if p.poll() is None:
+                p.kill()
     assert got == want, (got, want)
