@@ -114,23 +114,42 @@ print(json.dumps({k: int(v) for k, v in out.items()}))
 """
 
 
-def _run_child(env_extra):
+def _spawn_child(env_extra):
     env = dict(os.environ, **env_extra)
     env.pop("JAX_PLATFORMS", None)
     repo = pathlib.Path(__file__).resolve().parent.parent
-    res = subprocess.run([sys.executable, "-c", _CHILD], cwd=repo, env=env,
-                         capture_output=True, text=True, timeout=5400)
-    assert res.returncode == 0, res.stderr[-3000:]
-    return json.loads(res.stdout.strip().splitlines()[-1])
+    return subprocess.Popen([sys.executable, "-c", _CHILD], cwd=repo,
+                            env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+
+
+def _join_child(proc, timeout=14000):
+    try:
+        out, err = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise
+    assert proc.returncode == 0, err[-3000:]
+    return json.loads(out.strip().splitlines()[-1])
 
 
 def test_kernel_path_interpret_matches_rolled():
     # LAZY pinned off: this test compares RAW kernel outputs against the
     # rolled path bit-for-bit, which only holds in the canonical domain
-    # (the lazy-domain twin lives in tests/test_lazy_field.py)
-    got = _run_child({"ULTRAGROTH_PALLAS": "interpret",
-                      "ULTRAGROTH_LAZY": "0"})
-    want = _run_child({"ULTRAGROTH_LAZY": "0"})
+    # (the lazy-domain twin lives in tests/test_lazy_field.py).  The two
+    # children run CONCURRENTLY with a generous timeout: the serial
+    # 5400 s version lost a 4-core contended box in the round-4 full
+    # suite (experiments/pytest_r4.log).
+    p_interp = _spawn_child({"ULTRAGROTH_PALLAS": "interpret",
+                             "ULTRAGROTH_LAZY": "0"})
+    p_rolled = _spawn_child({"ULTRAGROTH_LAZY": "0"})
+    try:
+        got = _join_child(p_interp)
+        want = _join_child(p_rolled)
+    finally:
+        for p in (p_interp, p_rolled):
+            if p.poll() is None:
+                p.kill()
     assert got == want, (got, want)
     # the block sweep must agree with the registry kernel
     for blk in (256, 1024):
