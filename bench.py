@@ -64,10 +64,15 @@ def _emit_json() -> None:
     }), flush=True)
 
 
+_CHILD = [None]        # live phase subprocess (parent mode), for cleanup
+
+
 def _die_with_partial(reason: str) -> None:
     OUT["incomplete"] = reason
     if OUT.get("_phase"):
         OUT["interrupted_phase"] = OUT["_phase"]
+    if _CHILD[0] is not None and _CHILD[0].poll() is None:
+        _CHILD[0].kill()
     _emit_json()
     os._exit(0)
 
@@ -147,16 +152,28 @@ def _rand_scalars(log_n: int, seed: int):
 
 def _distinct_g1_points(jax, log_n: int):
     """2^log_n DISTINCT G1 points: k*G for k = 1..N via the device
-    fixed-base mul (32 gather+madd steps; testkit/dsetup._fb_run)."""
+    fixed-base mul (32 gather+madd steps; testkit/dsetup._fb_run).
+    Generated in <=2^22 tiles so the xyzz intermediates stay well inside
+    HBM at 2^24 (the MSM itself only holds affine planes + sort arrays)."""
     from ultragroth_tpu.testkit.dsetup import _fixed_base_points
     from ultragroth_tpu.ops import limbs as lb
     n = 1 << log_n
-    ks = lb.u32_to_planes(np.arange(1, n + 1, dtype=np.uint32))
-    x, y, inf = _fixed_base_points("g1", ks)
-    # host round trip: device-computed arrays can carry non-default
-    # layouts that specialize (and re-compile) the MSM program; np
-    # provenance keeps the program identical to prover-shaped inputs
-    return np.asarray(x), np.asarray(y), np.asarray(inf)
+    tile = min(n, 1 << 22)
+    xs, ys, infs = [], [], []
+    for lo in range(0, n, tile):
+        ks = lb.u32_to_planes(np.arange(lo + 1, lo + tile + 1,
+                                        dtype=np.uint32))
+        x, y, inf = _fixed_base_points("g1", ks)
+        # host round trip: device-computed arrays can carry non-default
+        # layouts that specialize (and re-compile) the MSM program; np
+        # provenance keeps the program identical to prover-shaped inputs
+        xs.append(np.asarray(x))
+        ys.append(np.asarray(y))
+        infs.append(np.asarray(inf))
+    if len(xs) == 1:
+        return xs[0], ys[0], infs[0]
+    return (np.concatenate(xs, axis=1), np.concatenate(ys, axis=1),
+            np.concatenate(infs))
 
 
 def bench_msm_g1(jax, log_n: int, c: int, iters: int = 3):
@@ -171,6 +188,27 @@ def bench_msm_g1(jax, log_n: int, c: int, iters: int = 3):
         _sync(dmsm.msm_g1(x, y, inf, scalars, c=c))
     dt = (time.perf_counter() - t0) / iters
     return n / dt, dt
+
+
+def bench_msm_g1_fixed(jax, log_n: int, iters: int = 3):
+    """Fixed-base G1 MSM (precomputed 2^(cw)*P window-multiple table over
+    the SAME distinct points/scalars as the standard metric).  The table
+    build is per-circuit (zkey points are constants, amortized across
+    proves by the create/prove C-API contract) and timed separately."""
+    from ultragroth_tpu.ops import msm as dmsm
+    x, y, inf = _distinct_g1_points(jax, log_n)
+    scalars = _rand_scalars(log_n, 7)
+    x, y, inf, scalars = _stage(jax, x, y, inf, scalars)
+    t0 = time.perf_counter()
+    packed, infp, c = dmsm.msm_fixed_table("g1", x, y, inf)
+    _sync(packed)
+    build_s = time.perf_counter() - t0
+    _sync(dmsm.msm_g1_fixed(packed, infp, scalars, c))   # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _sync(dmsm.msm_g1_fixed(packed, infp, scalars, c))
+    dt = (time.perf_counter() - t0) / iters
+    return (1 << log_n) / dt, dt, build_s, c
 
 
 def bench_msm_g2(jax, log_n: int, c: int, iters: int = 2):
@@ -306,30 +344,102 @@ def bench_e2e(jax, log_constraints: int):
     return dt, setup_s, bool(ok), _traced_phases(prover, wtns)
 
 
+def _run_phases_subproc(args) -> None:
+    """Parent orchestration (the default, round-4 verdict item 4): every
+    phase runs in its OWN subprocess (`bench.py --only <phase>`) with a
+    per-phase budget, so one phase's cold-compile hang through the relay
+    cannot wedge the phases behind it — the parent SIGKILLs the child
+    and moves on (an in-process watchdog cannot interrupt a main thread
+    stuck inside a PJRT compile RPC).  Children share .jax_cache_tpu;
+    within one relay session warm programs load in seconds.
+
+    The default total budget (1700 s) sits UNDER the driver's ~1800 s
+    kill window, so the parent always emits its merged JSON line and
+    exits 0 before the driver's `timeout` fires (BENCH_r02/r04 were
+    rc=124 with in-process phase loops).  Phase order puts the headline
+    MSM first (its cold compile is the big fixed cost: ~1100-1350 s when
+    the relay session changed since the cache was written), then the
+    cheap-when-warm phases; whatever doesn't fit is reported as skipped.
+    """
+    import subprocess
+    # (phase, budget_s, min_leftover_to_start)
+    plan = [("msm", 1450, 0), ("prove", 600, 60), ("ntt", 300, 45),
+            ("quot", 200, 45), ("g2", 500, 90), ("ultra", 500, 90),
+            ("msmfix", 3000, 600), ("e2e", 9000, 900),
+            ("msm24", 7000, 900)]
+    if args.only is not None:
+        plan = [p for p in plan if p[0] in args.only]
+    for name, phase_budget, min_left in plan:
+        left = args.budget_s - (time.perf_counter() - T0)
+        if left < max(min_left, 90):
+            OUT[f"{name}_skipped"] = "budget"
+            continue
+        budget = min(phase_budget, left - 30)
+        OUT["_phase"] = name
+        cmd = [sys.executable, str(REPO / "bench.py"), "--only", name,
+               "--budget-s", str(budget), "--log-n", str(args.log_n),
+               "--window", str(args.window), "--log-e2e", str(args.log_e2e)]
+        t_ph = time.perf_counter()
+        try:
+            proc = subprocess.Popen(cmd, cwd=REPO,
+                                    stdout=subprocess.PIPE, stderr=None)
+            _CHILD[0] = proc
+            try:
+                out, _ = proc.communicate(timeout=budget + 120)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.communicate()
+                raise
+            finally:
+                _CHILD[0] = None
+            res = json.loads(out.decode().strip().splitlines()[-1])
+        except Exception as e:  # noqa: BLE001 - timeout, bad JSON, crash
+            OUT[f"{name}_error"] = str(e)[:160]
+            print(f"[bench] phase {name} FAILED after "
+                  f"{time.perf_counter() - t_ph:.0f}s: {str(e)[:120]}",
+                  file=sys.stderr, flush=True)
+            continue
+        for k in ("metric", "unit", "vs_baseline", "elapsed_s", "_phase",
+                  "incomplete", "interrupted_phase"):
+            res.pop(k, None)
+        v = res.pop("value", 0.0)
+        if name == "msm" and v:
+            OUT["value"] = v
+        OUT.update(res)
+        print(f"[bench] phase {name} done in "
+              f"{time.perf_counter() - t_ph:.0f}s "
+              f"(elapsed {time.perf_counter() - T0:.0f}s)",
+              file=sys.stderr, flush=True)
+    OUT["_phase"] = None
+    _emit_json()
+
+
 def main():
     global _ARGS
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-n", type=int, default=18)
     ap.add_argument("--window", type=int, default=13)
     ap.add_argument("--log-e2e", type=int, default=20)
-    ap.add_argument("--budget-s", type=float, default=3300,
+    ap.add_argument("--budget-s", type=float, default=1700,
                     help="hard wall-clock budget: the watchdog emits the "
-                         "partial JSON line and exits 0 when it expires "
-                         "(remote-relay compiles can hang the main thread). "
-                         "3300 covers one cold 2^18 MSM compile (~26 min "
-                         "via the relay) — persistent-cache hits across "
-                         "processes are NOT guaranteed for the big Mosaic "
-                         "programs (round-4 finding: an identical call "
-                         "recompiled to a different cache entry after the "
-                         "relay session changed), and the SIGTERM handler "
-                         "still emits partial results if the driver's own "
-                         "timeout strikes first")
+                         "partial JSON line and exits 0 when it expires. "
+                         "The default sits UNDER the driver's ~1800 s kill "
+                         "window so the official artifact is rc=0 with "
+                         "whatever phases fit (each phase is a subprocess "
+                         "with its own cap; a cold 2^18 MSM recompile "
+                         "after a relay-session change is ~1100-1350 s and "
+                         "fits the msm phase cap).  Raise for full sweeps: "
+                         "--budget-s 20000 runs e2e and 2^24 too")
     ap.add_argument("--only", nargs="*", default=None,
-                    help="subset of phases: msm ntt quot prove g2 ultra e2e")
+                    help="subset of phases: msm ntt quot prove g2 ultra "
+                         "e2e msm24; parent mode unless exactly one phase")
     args = ap.parse_args()
     _ARGS = args
 
     _arm_watchdog(args.budget_s)
+    if args.only is None or len(args.only) != 1:
+        _run_phases_subproc(args)
+        return
     _probe_device()
     jax = _setup_jax()
 
@@ -360,8 +470,10 @@ def main():
                                        for k, v in phases.items()}
 
     def p_g2():
-        pps, dt = bench_msm_g2(jax, 14, 13)
-        OUT["g2_msm_2^14_points_per_sec"] = round(pps, 1)
+        # 2^16 (round-4 verdict item 6; the r4 2^14/c=13 number ran ~4
+        # bucket steps — per-step overhead, not arithmetic, dominated)
+        pps, dt = bench_msm_g2(jax, 16, 13)
+        OUT["g2_msm_2^16_points_per_sec"] = round(pps, 1)
         OUT["g2_msm_latency_s"] = round(dt, 4)
 
     def p_ultra():
@@ -380,11 +492,26 @@ def main():
         if phases:
             OUT["e2e_phases_ms"] = {k: round(v, 1) for k, v in phases.items()}
 
+    def p_msmfix():
+        pps, dt, build_s, cf = bench_msm_g1_fixed(jax, args.log_n)
+        OUT[f"g1_msm_fixed_2^{args.log_n}_points_per_sec"] = round(pps, 1)
+        OUT["msm_fixed_latency_s"] = round(dt, 4)
+        OUT["msm_fixed_table_build_s"] = round(build_s, 1)
+        OUT["msm_fixed_window"] = cf
+
+    def p_msm24():
+        # the north-star size (BASELINE.json: G1 MSM points/s/chip at
+        # 2^24); per-step fixed costs amortize here, so this is the
+        # design's best number.  One timed iter (~25 s each).
+        pps, dt = bench_msm_g1(jax, 24, 16, iters=1)
+        OUT["g1_msm_2^24_points_per_sec"] = round(pps, 1)
+        OUT["msm24_latency_s"] = round(dt, 4)
+
     # priority order; the watchdog cuts whatever is left when the budget
     # expires, so early phases are the ones guaranteed a number
     phases = [("msm", p_msm), ("prove", p_prove), ("ntt", p_ntt),
               ("quot", p_quot), ("g2", p_g2), ("ultra", p_ultra),
-              ("e2e", p_e2e)]
+              ("e2e", p_e2e), ("msm24", p_msm24), ("msmfix", p_msmfix)]
     for name, fn in phases:
         if args.only is not None and name not in args.only:
             continue

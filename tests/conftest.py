@@ -34,7 +34,11 @@ import pytest
 TESTDATA = pathlib.Path("/root/reference/testdata")
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
-jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+# machine-scoped: cross-box AOT cache entries error/SIGILL on load
+# (runtime.host_fingerprint docstring; killed the r4/r5 interpret children)
+from ultragroth_tpu.runtime import cpu_cache_dir
+
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # Serialize only expensive compiles: XLA-CPU executable serialization
 # aborts sporadically deep into many-compile pytest processes (heap

@@ -31,8 +31,9 @@ import sys
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
 jax.config.update("jax_platforms", "cpu")
+from ultragroth_tpu.runtime import cpu_cache_dir
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.getcwd(), ".jax_cache"))
+                  cpu_cache_dir(os.path.join(os.getcwd(), ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from ultragroth_tpu.runtime import configure

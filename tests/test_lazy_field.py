@@ -8,15 +8,13 @@ lazy op and check value-mod-p correctness plus the [0, 2p) closure bound,
 then run a whole interpret-mode MSM under the flag and require its
 (canonicalized) output to be bit-identical to the rolled-XLA MSM.
 """
-import json
 import os
-import pathlib
 import random
-import subprocess
-import sys
 
 import numpy as np
 import pytest
+
+import childproc
 
 from ultragroth_tpu.constants import FQ_MODULUS
 from ultragroth_tpu.ops import limbs as lb
@@ -125,8 +123,9 @@ import numpy as np
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+from ultragroth_tpu.runtime import cpu_cache_dir
 jax.config.update("jax_compilation_cache_dir",
-                  str(pathlib.Path.cwd() / ".jax_cache"))
+                  cpu_cache_dir(pathlib.Path.cwd() / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from ultragroth_tpu.ops import kernels
@@ -179,25 +178,6 @@ print(json.dumps(out))
 """
 
 
-def _spawn_lazy_child(env_extra):
-    env = dict(os.environ, **env_extra)
-    env.pop("JAX_PLATFORMS", None)
-    repo = pathlib.Path(__file__).resolve().parent.parent
-    return subprocess.Popen([sys.executable, "-c", _CHILD], cwd=repo,
-                            env=env, stdout=subprocess.PIPE,
-                            stderr=subprocess.PIPE, text=True)
-
-
-def _join_lazy_child(proc, timeout=14000):
-    try:
-        out, err = proc.communicate(timeout=timeout)
-    except subprocess.TimeoutExpired:
-        proc.kill()
-        raise
-    assert proc.returncode == 0, err[-3000:]
-    return json.loads(out.strip().splitlines()[-1])
-
-
 @pytest.mark.slow
 def test_lazy_interpret_kernels_match_canonical():
     """The MSM's curve kernels through the Pallas interpreter with lazy
@@ -214,15 +194,14 @@ def test_lazy_interpret_kernels_match_canonical():
     # run them CONCURRENTLY (halves wall time; the round-4 full-suite run
     # lost this file to the serial 8100 s timeout under box contention,
     # experiments/pytest_r4.log)
-    p_lazy = _spawn_lazy_child({"ULTRAGROTH_PALLAS": "interpret",
-                                "ULTRAGROTH_LAZY": "1"})
-    p_base = _spawn_lazy_child({"ULTRAGROTH_PALLAS": "interpret",
-                                "ULTRAGROTH_LAZY": "0"})
+    p_lazy = childproc.spawn(_CHILD, {"ULTRAGROTH_PALLAS": "interpret",
+                                      "ULTRAGROTH_LAZY": "1"})
+    p_base = childproc.spawn(_CHILD, {"ULTRAGROTH_PALLAS": "interpret",
+                                      "ULTRAGROTH_LAZY": "0"})
     try:
-        got = _join_lazy_child(p_lazy)
-        want = _join_lazy_child(p_base)
+        got = childproc.join(p_lazy)
+        want = childproc.join(p_base)
     finally:
         for p in (p_lazy, p_base):
-            if p.poll() is None:
-                p.kill()
+            childproc.reap(p)
     assert got == want, (got, want)

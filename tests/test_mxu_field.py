@@ -76,8 +76,9 @@ import numpy as np
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+from ultragroth_tpu.runtime import cpu_cache_dir
 jax.config.update("jax_compilation_cache_dir",
-                  str(pathlib.Path.cwd() / ".jax_cache"))
+                  cpu_cache_dir(pathlib.Path.cwd() / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from ultragroth_tpu.ops import kernels

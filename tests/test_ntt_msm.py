@@ -114,3 +114,41 @@ def test_msm_two_phase_extreme_skew():
     out = dmsm.msm_g1(x, y, inf, sc, c=c)
     got = g1_affine_from_device(*jax.jit(dmsm.g1_ops().to_affine)(out))[0]
     assert got == oc.g1_msm(pts, scalars)
+
+
+@pytest.mark.parametrize("n,c", [(97, 8), (33, 12)])
+def test_msm_g1_fixed_vs_oracle(n, c):
+    """Fixed-base path (precomputed 2^(cw)*P table, one shared bucket
+    space) against the oracle, incl. infinity base, repeated base, and a
+    zero scalar."""
+    pts = [oc.g1_mul(oc.G1, RNG.randrange(1, R)) for _ in range(n - 2)]
+    pts += [None, pts[0]]
+    scalars = [RNG.randrange(R) for _ in range(n - 3)] + [0, 5, R - 1]
+    x, y, inf = g1_batch_to_planes(pts)
+    sc = lb.ints_to_planes(scalars)
+    packed, inf_p, c = dmsm.msm_fixed_table("g1", x, y, inf, c=c)
+    out = dmsm.msm_g1_fixed(packed, inf_p, sc, c)
+    got = g1_affine_from_device(*jax.jit(dmsm.g1_ops().to_affine)(out))[0]
+    assert got == oc.g1_msm(pts, scalars)
+
+
+def test_msm_g2_fixed_vs_oracle():
+    n, c = 17, 8
+    pts = [oc.g2_mul(oc.G2, RNG.randrange(1, R)) for _ in range(n)]
+    scalars = [RNG.randrange(R) for _ in range(n)]
+    x, y, inf = g2_batch_to_planes(pts)
+    sc = lb.ints_to_planes(scalars)
+    packed, inf_p, c = dmsm.msm_fixed_table("g2", x, y, inf, c=c)
+    out = dmsm.msm_g2_fixed(packed, inf_p, sc, c)
+    got = g2_affine_from_device(*jax.jit(dmsm.g2_ops().to_affine)(out))[0]
+    assert got == oc.g2_msm(pts, scalars)
+
+
+def test_batch_inv_mont_vs_fermat():
+    """Montgomery-trick batch inversion == per-element Fermat, inv(0)=0."""
+    F = fr()
+    vals = [RNG.randrange(R) for _ in range(30)] + [0, 1]
+    a = lb.ints_to_planes(vals)
+    got = np.asarray(F.batch_inv_mont(a))
+    want = np.asarray(F.inv_mont(a))
+    np.testing.assert_array_equal(got, want)

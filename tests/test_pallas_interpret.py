@@ -14,13 +14,9 @@ process, so the interpret run happens in a subprocess with the env set
 from the start; it prints canonical digests that this test compares with
 the rolled-XLA path computed in-process.
 """
-import json
-import os
-import pathlib
-import subprocess
-import sys
-
 import numpy as np
+
+import childproc
 
 _CHILD = r"""
 import json
@@ -33,16 +29,23 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # the flat kernel_view graphs are XLA-CPU-compile heavy; share the test
-# suite's persistent cache (cwd == repo root) so warm runs skip them
+# suite's persistent cache (cwd == repo root, machine-scoped) so warm
+# runs skip them
+from ultragroth_tpu.runtime import cpu_cache_dir
 jax.config.update("jax_compilation_cache_dir",
-                  str(pathlib.Path.cwd() / ".jax_cache"))
+                  cpu_cache_dir(pathlib.Path.cwd() / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from ultragroth_tpu.ops import kernels
 from ultragroth_tpu.ops.fuse import fused_map, _use_pallas
 from ultragroth_tpu.ops.field import fr
 
-assert _use_pallas(), "ULTRAGROTH_PALLAS=interpret must force the kernel path"
+# the interpret child must take the kernel path; the rolled 'want' child
+# (no ULTRAGROTH_PALLAS) must take the XLA fallback
+if os.environ.get("ULTRAGROTH_PALLAS") == "interpret":
+    assert _use_pallas(), "interpret env must force the kernel path"
+else:
+    assert not _use_pallas(), "rolled child must use the XLA fallback"
 
 N = 1537          # deliberately not a block multiple: exercises padding
 rng = np.random.default_rng(3)
@@ -114,25 +117,6 @@ print(json.dumps({k: int(v) for k, v in out.items()}))
 """
 
 
-def _spawn_child(env_extra):
-    env = dict(os.environ, **env_extra)
-    env.pop("JAX_PLATFORMS", None)
-    repo = pathlib.Path(__file__).resolve().parent.parent
-    return subprocess.Popen([sys.executable, "-c", _CHILD], cwd=repo,
-                            env=env, stdout=subprocess.PIPE,
-                            stderr=subprocess.PIPE, text=True)
-
-
-def _join_child(proc, timeout=14000):
-    try:
-        out, err = proc.communicate(timeout=timeout)
-    except subprocess.TimeoutExpired:
-        proc.kill()
-        raise
-    assert proc.returncode == 0, err[-3000:]
-    return json.loads(out.strip().splitlines()[-1])
-
-
 def test_kernel_path_interpret_matches_rolled():
     # LAZY pinned off: this test compares RAW kernel outputs against the
     # rolled path bit-for-bit, which only holds in the canonical domain
@@ -140,16 +124,15 @@ def test_kernel_path_interpret_matches_rolled():
     # children run CONCURRENTLY with a generous timeout: the serial
     # 5400 s version lost a 4-core contended box in the round-4 full
     # suite (experiments/pytest_r4.log).
-    p_interp = _spawn_child({"ULTRAGROTH_PALLAS": "interpret",
-                             "ULTRAGROTH_LAZY": "0"})
-    p_rolled = _spawn_child({"ULTRAGROTH_LAZY": "0"})
+    p_interp = childproc.spawn(_CHILD, {"ULTRAGROTH_PALLAS": "interpret",
+                                        "ULTRAGROTH_LAZY": "0"})
+    p_rolled = childproc.spawn(_CHILD, {"ULTRAGROTH_LAZY": "0"})
     try:
-        got = _join_child(p_interp)
-        want = _join_child(p_rolled)
+        got = childproc.join(p_interp)
+        want = childproc.join(p_rolled)
     finally:
         for p in (p_interp, p_rolled):
-            if p.poll() is None:
-                p.kill()
+            childproc.reap(p)
     assert got == want, (got, want)
     # the block sweep must agree with the registry kernel
     for blk in (256, 1024):

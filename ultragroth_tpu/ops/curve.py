@@ -219,6 +219,25 @@ class CurveOps:
         xa, ya = self._mul_many([(x, izz), (y, izzz)])
         return (xa, ya, inf)
 
+    def to_affine_batch(self, p):
+        """to_affine via ONE Montgomery-trick batch inversion over the
+        stacked (zz, zzz) lanes — ~170x fewer multiplies than the
+        per-element Fermat chains for big one-shot normalizations
+        (fixed-base tables).  inv(0) = 0, so infinity lanes stay (0, 0)."""
+        F = self.F
+        x, y, zz, zzz = p
+        inf = self.is_inf(p)
+        both = _tmap(lambda a, b: jnp.concatenate(
+            [a.reshape(a.shape[0], -1), b.reshape(b.shape[0], -1)],
+            axis=-1), zz, zzz)
+        invs = F.batch_inv_mont(both)
+        n = jax.tree_util.tree_leaves(zz)[0].reshape(
+            jax.tree_util.tree_leaves(zz)[0].shape[0], -1).shape[-1]
+        izz = _tmap(lambda t, z: t[..., :n].reshape(z.shape), invs, zz)
+        izzz = _tmap(lambda t, z: t[..., n:].reshape(z.shape), invs, zzz)
+        xa, ya = self._mul_many([(x, izz), (y, izzz)])
+        return (xa, ya, inf)
+
 
 def g1_ops() -> CurveOps:
     return CurveOps(fq())

@@ -143,7 +143,8 @@ class FieldOps:
             [(e >> i) & 1 for i in range(e.bit_length() - 1, -1, -1)],
             dtype=np.uint32)
         for f in ("add", "sub", "neg", "half", "mont_mul", "mont_sqr",
-                  "to_mont", "from_mont", "inv_mont", "redc_carry"):
+                  "to_mont", "from_mont", "inv_mont", "redc_carry",
+                  "batch_inv_mont"):
             setattr(self, f, jax.jit(getattr(self, "_" + f)))
 
     # -- constants ---------------------------------------------------------
@@ -386,6 +387,36 @@ class FieldOps:
 
         acc, _ = jax.lax.scan(body, self.one_mont(a.shape[1:]), bits)
         return acc
+
+    def _batch_inv_mont(self, a):
+        """Montgomery-trick batched inversion (Montgomery domain): two
+        O(log N) prefix-product sweeps + ONE Fermat inversion of the
+        running total, then inv_i = excl_prefix_i * excl_suffix_i *
+        total^-1.  inv(0) = 0 (zero lanes are masked to 1 for the sweeps
+        so they can't zero the total).
+
+        ~6N multiply-lanes instead of Fermat's ~1000N — the batched
+        answer to the reference's serial per-element inversion loop
+        (/root/reference/src/ultra_groth.cpp:72-79).  Rolled-ops only
+        (associative_scan cannot live inside a Pallas kernel); intended
+        for one-shot normalizations (fixed-base tables, lookup tables),
+        not in-kernel use.
+        """
+        shape = a.shape
+        flat = a.reshape(L, -1)
+        n = flat.shape[1]
+        zero = self.is_zero(flat)
+        one = self.one_mont((n,))
+        b = jnp.where(zero[None], one, flat)
+        mul = lambda x, y: self._mont_mul(x, y)
+        pre = jax.lax.associative_scan(mul, b, axis=1)
+        suf = jax.lax.associative_scan(mul, b, axis=1, reverse=True)
+        tinv = self._inv_mont(pre[:, -1:])
+        epre = jnp.concatenate([one[:, :1], pre[:, :-1]], axis=1)
+        esuf = jnp.concatenate([suf[:, 1:], one[:, :1]], axis=1)
+        inv = mul(mul(epre, esuf), jnp.broadcast_to(tinv, (L, n)))
+        inv = jnp.where(zero[None], jnp.zeros_like(inv), inv)
+        return inv.reshape(shape)
 
     def pow_const(self, a, e: int):
         """a^e (Montgomery domain), static exponent, scan form."""

@@ -64,6 +64,14 @@ class Fq2Ops:
         ninv = F.inv_mont(norm)
         return (F.mont_mul(a[0], ninv), F.neg(F.mont_mul(a[1], ninv)))
 
+    def batch_inv_mont(self, a):
+        """Batched Fq2 inversion via ONE Fq Montgomery-trick batch
+        inversion of the norms (a0^2 + a1^2); inv(0) = 0."""
+        F = self.fq
+        norm = F.add(F.mont_mul(a[0], a[0]), F.mont_mul(a[1], a[1]))
+        ninv = F.batch_inv_mont(norm)
+        return (F.mont_mul(a[0], ninv), F.neg(F.mont_mul(a[1], ninv)))
+
     def is_zero(self, a):
         return self.fq.is_zero(a[0]) & self.fq.is_zero(a[1])
 

@@ -83,6 +83,21 @@ def words_to_planes(words: np.ndarray) -> np.ndarray:
     return np.moveaxis(inter, -1, 0).copy()
 
 
+def words_to_planes_device(words) -> "jax.Array":
+    """Device-side words_to_planes: upload the [N, 8] u32 wire form (32 B
+    per value) and split limbs ON DEVICE, instead of uploading host-split
+    [16, N] planes (64 B per value — 16-bit limbs in u32 lanes).
+
+    Halves witness H2D bytes; at 2^20+ vars the upload through the
+    ~85 MB/s axon relay is a scale-sensitive prove phase (round-4
+    verdict item 7: 'upload' traced at 867 ms on the golden circuit)."""
+    import jax.numpy as jnp
+    w = jnp.asarray(words)                       # H2D of the compact form
+    lo = (w & jnp.uint32(LIMB_MASK)).T           # [8, N]
+    hi = (w >> LIMB_BITS).T
+    return jnp.stack([lo, hi], axis=1).reshape(NLIMBS, -1)
+
+
 def planes_to_words(planes: np.ndarray) -> np.ndarray:
     """[NLIMBS, ...] limb planes -> [..., 8] u32 wire words."""
     planes = np.asarray(planes, dtype=np.uint32)

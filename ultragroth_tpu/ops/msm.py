@@ -518,3 +518,158 @@ def msm_g1(x, y, inf, scalars, c: int = 16):
 def msm_g2(x, y, inf, scalars, c: int = 16):
     """G2 MSM: x, y are (c0, c1) tuples of [L, N] planes."""
     return _msm_g2_padded(*_pad_pow2(x, y, inf, scalars), c=c)
+
+
+# -- fixed-base MSM (precomputed window multiples) --------------------------
+#
+# The prover's MSM points are per-circuit CONSTANTS (zkey sections, loaded
+# once by *_prover_create and reused across proves — the amortization the
+# reference's C API is built around, /root/reference/src/prover.cpp:449-473).
+# Precomputing 2^(c*w) * P_i per point collapses Pippenger's W windows into
+# ONE shared bucket space:
+#
+#   sum_i k_i P_i = sum_{w,i} d_{w,i} * (2^(c*w) P_i)
+#
+# so the per-prove work drops from N * ceil(254/c_small) bucket adds (the
+# window combine forces small c) to N * ceil(254/c_big) with NO window
+# combine at all — the only c limit left is the single reduction over
+# 2^(c-1) buckets, which amortizes at ~2 adds/bucket.  c=16 at 2^18 points:
+# 16N pairs vs 20N, no Horner, and a reduction 16x narrower than the
+# standard path's W-window one.
+
+def fixed_n_windows(c: int) -> int:
+    nw = -(-SCALAR_BITS // c)
+    if SCALAR_BITS % c == 0:
+        nw += 1      # spare window absorbs the signed-recode carry
+    return nw
+
+
+def default_fixed_window(n: int) -> int:
+    """Balance accumulation pairs (N * ceil(254/c)) against reduction
+    lanes (~2 * 2^(c-1) adds + per-level launch overhead): c ~ log2(N)-2."""
+    if n >= (1 << 21):
+        return 19
+    if n >= (1 << 19):
+        return 17
+    if n >= (1 << 15):
+        return 16
+    if n >= (1 << 12):
+        return 13
+    return 10
+
+
+@functools.partial(jax.jit, static_argnames=("group", "c"))
+def _fb_table_jit(x, y, inf, group: str, c: int):
+    """Packed fixed-base table: column w*N + i = affine(2^(c*w) * P_i).
+
+    Doublings ride the fused complete add's doubling branch (one kernel
+    launch per doubling, ladder-padded shape); the W*N normalization back
+    to affine is ONE Montgomery-trick batch inversion (to_affine_batch),
+    not W*N Fermat chains."""
+    ops = g1_ops() if group == "g1" else g2_ops()
+    add_where = kernels.curve_add_where(group)
+    nw = fixed_n_windows(c)
+    cur = ops.affine_to_xyzz(x, y, inf)
+    levels = [cur]
+    for _ in range(1, nw):
+        cur = jax.lax.fori_loop(
+            0, c, lambda i, p: _add_all(add_where, p, p), cur)
+        levels.append(cur)
+    allp = _tree_map(lambda *ts: jnp.concatenate(ts, axis=-1), *levels)
+    if _lazy_kernels():
+        from .field import fq
+        allp = _tree_map(lambda t: fq().canon(t), allp)
+    ax, ay, _ = ops.to_affine_batch(allp)
+    return _pack_points_planes(ax, ay)
+
+
+def msm_fixed_table(group: str, x, y, inf, c: int | None = None):
+    """Precompute the fixed-base table for msm_*_fixed (once per circuit).
+
+    Pads N to a power of two (shared compiled graphs, clean tiling) and
+    returns (packed [K*L, W*Npad], inf [Npad], c).  Table memory is
+    W * Npad * 128 B for G1 (256 B for G2) — callers gate on that
+    (protocol/prover.py budgets it against HBM)."""
+    n = inf.shape[0]
+    if c is None:
+        c = default_fixed_window(n)
+    size = max(64, 1 << (n - 1).bit_length())
+    pad = size - n
+
+    def padp(a):
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+
+    if pad:
+        x = _tree_map(padp, x)
+        y = _tree_map(padp, y)
+        inf = jnp.pad(jnp.asarray(inf), (0, pad), constant_values=True)
+    packed = _fb_table_jit(jax.tree_util.tree_map(jnp.asarray, x),
+                           jax.tree_util.tree_map(jnp.asarray, y),
+                           jnp.asarray(inf), group, c)
+    return packed, jnp.asarray(inf), c
+
+
+def _msm_fixed(ops: CurveOps, group: str, packed, x_like, y_like, inf,
+               scalars, c: int):
+    n_windows = fixed_n_windows(c)
+    n_buckets = 1 << (c - 1)
+    add_where = kernels.curve_add_where(group)
+    red_ops = kernels._kernel_curve(group) if _lazy_kernels() else ops
+
+    buckets, negs = _signed_digits(scalars, c, n_windows)    # [W, N]
+    idx = jnp.where(buckets > 0, buckets - 1, n_buckets)
+    idx = jnp.where(jnp.asarray(inf)[None, :], n_buckets, idx)
+    w, n = idx.shape
+    # ONE shared bucket space across all windows: entry id w*N + i is the
+    # packed-table column of 2^(c*w) * P_i, so the flat sort/accumulate/
+    # reduce machinery of the standard path applies with n_windows=1 (and
+    # no _split_factor skew handling: the top window's few distinct
+    # indices just share buckets with everyone else)
+    flat_idx = idx.reshape(1, w * n)
+    enc = (jnp.arange(w * n, dtype=jnp.int32).reshape(w, n) * 2
+           + negs.astype(jnp.int32)).reshape(1, w * n)
+    _, orders = jax.lax.sort((flat_idx, enc), dimension=1, num_keys=1)
+    counts = jnp.bincount(
+        flat_idx[0], length=n_buckets + 1)[None, :n_buckets]
+
+    acc = _bucket_accumulate_all(ops, group, packed, x_like, y_like,
+                                 orders, counts, c, [1])
+    totals = _weighted_totals(red_ops, add_where, acc, n_buckets)
+    out = _tree_map(lambda t: t[..., 0], totals)
+    if _lazy_kernels():
+        from .field import fq
+        out = _tree_map(lambda t: fq().canon(t), out)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _msm_g1_fixed_jit(packed, inf, scalars, c: int):
+    return _msm_fixed(g1_ops(), "g1", packed, scalars, scalars, inf,
+                      scalars, c)
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _msm_g2_fixed_jit(packed, inf, scalars, c: int):
+    tmpl = (scalars, scalars)
+    return _msm_fixed(g2_ops(), "g2", packed, tmpl, tmpl, inf, scalars, c)
+
+
+def _pad_scalars(scalars, n: int):
+    scal = jnp.asarray(scalars)
+    if scal.shape[1] != n:
+        scal = jnp.pad(scal, ((0, 0), (0, n - scal.shape[1])))
+    return scal
+
+
+def msm_g1_fixed(packed, inf, scalars, c: int):
+    """G1 fixed-base MSM over a precomputed table (msm_fixed_table).
+    scalars: [L, n] standard-form Fr planes, n <= table N (zero-padded);
+    returns a single xyzz point, leaves [L]."""
+    return _msm_g1_fixed_jit(packed, inf, _pad_scalars(scalars,
+                                                       inf.shape[0]), c)
+
+
+def msm_g2_fixed(packed, inf, scalars, c: int):
+    """G2 fixed-base MSM over a precomputed table."""
+    return _msm_g2_fixed_jit(packed, inf, _pad_scalars(scalars,
+                                                       inf.shape[0]), c)

@@ -39,6 +39,39 @@ def ensure_map_count(min_maps: int = 1 << 20) -> None:
         pass
 
 
+def host_fingerprint() -> str:
+    """Short fingerprint of this host's CPU feature set.
+
+    XLA:CPU persistent-cache entries embed AOT executables pinned to the
+    COMPILE machine's CPU features; loading them on a host with a
+    different feature set errors ('cpu_aot_loader ... doesn't match the
+    machine type for execution') or SIGILLs the process — observed
+    killing the round-4/5 interpret-mode test children after the build
+    moved boxes with the repo's .jax_cache intact.  Scoping the CPU
+    cache dir by this fingerprint makes stale cross-machine entries
+    unreachable instead of fatal."""
+    import hashlib
+    import platform
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except Exception:
+        pass
+    h = hashlib.sha256((platform.machine() + "|" + flags).encode())
+    return h.hexdigest()[:12]
+
+
+def cpu_cache_dir(root) -> str:
+    """Machine-scoped XLA:CPU compilation-cache dir under `root`."""
+    path = pathlib.Path(root) / f"host-{host_fingerprint()}"
+    path.mkdir(parents=True, exist_ok=True)
+    return str(path)
+
+
 def configure() -> None:
     global _CONFIGURED
     if _CONFIGURED:
@@ -68,6 +101,9 @@ def configure() -> None:
         path = pathlib.Path(cache) if cache else (
             pathlib.Path.home() / ".cache" / "ultragroth_tpu"
             / f"xla-{backend}")
+        if backend == "cpu" and not cache:
+            # CPU AOT executables are machine-pinned (host_fingerprint)
+            path = path / f"host-{host_fingerprint()}"
         try:
             path.mkdir(parents=True, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", str(path))
