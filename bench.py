@@ -363,8 +363,8 @@ def _run_phases_subproc(args) -> None:
     """
     import subprocess
     # (phase, budget_s, min_leftover_to_start)
-    plan = [("msm", 1450, 0), ("prove", 600, 60), ("ntt", 300, 45),
-            ("quot", 200, 45), ("g2", 500, 90), ("ultra", 500, 90),
+    plan = [("msm", 1450, 0), ("ntt", 500, 45), ("quot", 300, 45),
+            ("prove", 600, 60), ("g2", 500, 90), ("ultra", 500, 90),
             ("msmfix", 3000, 600), ("e2e", 9000, 900),
             ("msm24", 7000, 900)]
     if args.only is not None:

@@ -138,6 +138,8 @@ from ultragroth_tpu.constants import FQ_MODULUS
 
 assert _use_pallas()
 
+PART = os.environ["ULTRAGROTH_CHILD_PART"]
+
 P = FQ_MODULUS
 M = 257
 pts = [oc.g1_mul(oc.G1, k + 2) for k in range(M)]
@@ -151,38 +153,53 @@ valid = np.ones(M, bool)
 valid[::7] = False
 ok = np.zeros(M, bool)
 ok[1::2] = True
+# rolled constructor (canonical values are valid lazy representatives)
+base = g1_ops().affine_to_xyzz(qy, qx, np.zeros(M, bool))
 
-ops = kernels._kernel_curve("g1")
-# chain through the MSM's hot kernels: complete signed madd (seeds from
-# infinity; its doubling branch also covers the dbl formula the horner
-# scaler reuses), fast incomplete madd, add_where, and the eager
-# kernel-view neg (the bucket-reduction banked-half negation).  Each
-# interpret-mode kernel program is a >10-minute XLA:CPU compile, so the
-# chain stays at three kernels (a 5-kernel variant timed out at 90 min,
-# experiments/pytest_r4a.log).
-acc = kernels.curve_madd_signed("g1")(g1_ops().inf_xyzz((M,)),
-                                      qx, qy, qinf, qneg)
-acc, flags = kernels.curve_madd_fast("g1")(acc, qy, qx, qneg, valid)
-acc2 = kernels.curve_add_where("g1")(acc, acc, ok)
-acc3 = ops.neg(acc2)
+# one kernel program per part: a single child compiling the whole chain
+# peaked at 78 GB RSS and met the OOM killer (round-5 forensics); parts
+# run in separate processes with independent inputs
+out = {}
+if PART == "signed":
+    # complete signed madd seeding from infinity: covers the doubling
+    # branch the horner scaler reuses + the in-kernel y-negation
+    out["signed"] = kernels.curve_madd_signed("g1")(
+        g1_ops().inf_xyzz((M,)), qx, qy, qinf, qneg)
+elif PART == "fast":
+    acc, flags = kernels.curve_madd_fast("g1")(base, qy, qx, qneg, valid)
+    out["fast"] = acc
+    out["flags_scalar"] = int(np.asarray(flags).sum(dtype=np.uint64))
+elif PART == "where":
+    # add_where + the eager kernel-view neg (the bucket-reduction
+    # banked-half negation is the lazy-domain-sensitive op)
+    acc = kernels.curve_add_where("g1")(base, base, ok)
+    out["where"] = acc
+    out["neg"] = kernels._kernel_curve("g1").neg(acc)
+else:
+    raise SystemExit(f"unknown part {PART}")
 
-# canonicalize before digesting: lazy-mode chains carry [0, 2p)
+# canonicalize before digesting: lazy-mode kernels emit [0, 2p)
 # representatives; the residues must agree with the canonical run
 F = fq()
-out = {}
-for name, tree in (("fast", acc), ("where", acc2), ("neg", acc3)):
+dig = {}
+for name, tree in out.items():
+    if name.endswith("_scalar"):
+        dig[name] = int(tree)
+        continue
     canon = [np.asarray(F.canon(l)) for l in jax.tree_util.tree_leaves(tree)]
-    out[name] = sum(int(l.sum(dtype=np.uint64)) for l in canon)
-out["flags"] = int(np.asarray(flags).sum(dtype=np.uint64))
-print(json.dumps(out))
+    dig[name] = sum(int(l.sum(dtype=np.uint64)) for l in canon)
+print(json.dumps(dig))
 """
+
+LAZY_PARTS = ("signed", "fast", "where")
 
 
 @pytest.mark.slow
-def test_lazy_interpret_kernels_match_canonical():
+@pytest.mark.parametrize("part", LAZY_PARTS)
+def test_lazy_interpret_kernels_match_canonical(part):
     """The MSM's curve kernels through the Pallas interpreter with lazy
     reduction ON: canonicalized outputs must be bit-identical to the
-    canonical-mode run of the same chain — covers the in-kernel lazy
+    canonical-mode run of the same kernels — covers the in-kernel lazy
     madd/add, the lazy-domain bucket negation, and the final canon.
 
     (A FULL interpret-mode MSM was tried here and is intractable: the
@@ -190,18 +207,19 @@ def test_lazy_interpret_kernels_match_canonical():
     compiles that exceed 90 minutes — tests/pytest_r3c.log.  The MSM
     composition itself is covered on the rolled path by test_ntt_msm and
     on real hardware by the bench oracle checks.)"""
-    # the two children are independent single-compile-at-a-time processes:
-    # run them CONCURRENTLY (halves wall time; the round-4 full-suite run
-    # lost this file to the serial 8100 s timeout under box contention,
-    # experiments/pytest_r4.log)
+    # lazy and canonical children run CONCURRENTLY (both interpret-mode;
+    # each compiles the same ONE kernel program); parts sequential so
+    # peak RSS stays bounded (see _CHILD docstring)
     p_lazy = childproc.spawn(_CHILD, {"ULTRAGROTH_PALLAS": "interpret",
-                                      "ULTRAGROTH_LAZY": "1"})
+                                      "ULTRAGROTH_LAZY": "1",
+                                      "ULTRAGROTH_CHILD_PART": part})
     p_base = childproc.spawn(_CHILD, {"ULTRAGROTH_PALLAS": "interpret",
-                                      "ULTRAGROTH_LAZY": "0"})
+                                      "ULTRAGROTH_LAZY": "0",
+                                      "ULTRAGROTH_CHILD_PART": part})
     try:
         got = childproc.join(p_lazy)
         want = childproc.join(p_base)
     finally:
         for p in (p_lazy, p_base):
             childproc.reap(p)
-    assert got == want, (got, want)
+    assert got == want, (part, got, want)

@@ -338,16 +338,32 @@ def scatter_coefs(witness_mont, coef_val_mont, coef_m, coef_c, coef_s,
     reduction per chunk.
     """
     F = fr()
+    L_ = witness_mont.shape[0]
     n_coefs = coef_m.shape[0]
     seg = coef_m.astype(jnp.uint32) * jnp.uint32(domain_size) + coef_c.astype(jnp.uint32)
     prod = F.mont_mul(witness_mont[:, coef_s], coef_val_mont)  # [L, nC]
-    acc = F.zero((2 * domain_size,))
-    for start in range(0, n_coefs, chunk):
-        end = min(start + chunk, n_coefs)
+    # chunks ride a lax.scan so the jaxpr holds ONE segment_sum no matter
+    # how many chunks: the unrolled python-loop form emitted 32 big
+    # scatters at 2^20 coefs and that program reliably crashed the remote
+    # TPU compiler (tpu_compile_helper exit 1 — both r5 e2e-2^20 attempts
+    # died on exactly this compile).  Pad lanes scatter into a dump slot.
+    n_chunks = -(-n_coefs // chunk)
+    pad = n_chunks * chunk - n_coefs
+    if pad:
+        prod = jnp.pad(prod, ((0, 0), (0, pad)))
+        seg = jnp.pad(seg, (0, pad),
+                      constant_values=2 * domain_size)      # dump slot
+    prod_c = prod.reshape(L_, n_chunks, chunk).transpose(1, 2, 0)
+    seg_c = seg.reshape(n_chunks, chunk)
+
+    def body(acc, xs):
+        p, s = xs                                 # [chunk, L], [chunk]
         sums = jax.ops.segment_sum(
-            prod[:, start:end].T, seg[start:end],
-            num_segments=2 * domain_size)          # [2D, L] uint32 lazy
-        acc = F.add(acc, F.redc_carry(sums.T))
+            p, s, num_segments=2 * domain_size + 1)  # uint32 lazy
+        return F.add(acc, F.redc_carry(sums[:-1].T)), None
+
+    acc, _ = jax.lax.scan(body, F.zero((2 * domain_size,)),
+                          (prod_c, seg_c))
     a = acc[:, :domain_size]
     b = acc[:, domain_size:]
     return a, b
