@@ -363,9 +363,14 @@ def _run_phases_subproc(args) -> None:
     """
     import subprocess
     # (phase, budget_s, min_leftover_to_start)
+    # msmfix sits right after the cheap-when-warm ntt/quot: when its
+    # programs are warm in .jax_cache_tpu it lands the fixed-base
+    # headline in ~2 min, and when they are cold NOTHING later in the
+    # plan could have fit either (prove/g2/ultra are ~4000 s cold via
+    # the relay) — so trying it early is strictly better.
     plan = [("msm", 1450, 0), ("ntt", 500, 45), ("quot", 300, 45),
-            ("prove", 600, 60), ("g2", 500, 90), ("ultra", 500, 90),
-            ("msmfix", 3000, 600), ("e2e", 9000, 900),
+            ("msmfix", 700, 90), ("prove", 600, 60), ("g2", 500, 90),
+            ("ultra", 500, 90), ("e2e", 9000, 900),
             ("msm24", 7000, 900)]
     if args.only is not None:
         plan = [p for p in plan if p[0] in args.only]

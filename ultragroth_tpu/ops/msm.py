@@ -628,9 +628,18 @@ def _msm_fixed(ops: CurveOps, group: str, packed, x_like, y_like, inf,
     flat_idx = idx.reshape(1, w * n)
     enc = (jnp.arange(w * n, dtype=jnp.int32).reshape(w, n) * 2
            + negs.astype(jnp.int32)).reshape(1, w * n)
-    _, orders = jax.lax.sort((flat_idx, enc), dimension=1, num_keys=1)
-    counts = jnp.bincount(
-        flat_idx[0], length=n_buckets + 1)[None, :n_buckets]
+    sorted_idx, orders = jax.lax.sort((flat_idx, enc), dimension=1,
+                                      num_keys=1)
+    # counts from the sorted keys (searchsorted = gather-based binary
+    # search), NOT jnp.bincount: at this path's sizes (W*N entries into
+    # 2^(c-1)+1 bins, e.g. 4.2M -> 32769 at 2^18/c=16) the bincount
+    # scatter-add program crashes the relay's tpu_compile_helper the
+    # same way the unrolled scatter_coefs did (compile-time HBM OOM,
+    # queue_r5c.log) — the standard path's per-window bincounts are 8x
+    # smaller and unaffected
+    bounds = jnp.searchsorted(sorted_idx[0],
+                              jnp.arange(n_buckets + 1, dtype=flat_idx.dtype))
+    counts = (bounds[1:] - bounds[:-1])[None, :]
 
     acc = _bucket_accumulate_all(ops, group, packed, x_like, y_like,
                                  orders, counts, c, [1])
