@@ -625,24 +625,38 @@ def _msm_fixed(ops: CurveOps, group: str, packed, x_like, y_like, inf,
     # reduce machinery of the standard path applies with n_windows=1 (and
     # no _split_factor skew handling: the top window's few distinct
     # indices just share buckets with everyone else)
-    flat_idx = idx.reshape(1, w * n)
+    # PER-ROW sorts + per-row counts, exactly the standard path's compile
+    # shapes ([W, N] batched sort, [W, n_buckets] counts): the flat
+    # [1, W*N] single-row form compiled into a program that crashes the
+    # relay's tpu_compile_helper (compile-side OOM, same signature as
+    # scatter_coefs — queue_r5c.log / bench_msmfix_r5{b,c}.log).  The
+    # bucket space is still SHARED: enc carries the GLOBAL packed-table
+    # column (w*N + i -> the 2^(cw)*P_i multiple), so each window's
+    # accumulators target the same bucket ids and the window axis is
+    # folded with plain complete adds below — no Horner window-combine.
     enc = (jnp.arange(w * n, dtype=jnp.int32).reshape(w, n) * 2
-           + negs.astype(jnp.int32)).reshape(1, w * n)
-    sorted_idx, orders = jax.lax.sort((flat_idx, enc), dimension=1,
-                                      num_keys=1)
+           + negs.astype(jnp.int32))                     # [W, N] global ids
+    sorted_idx, orders = jax.lax.sort((idx, enc), dimension=1, num_keys=1)
     # counts from the sorted keys (searchsorted = gather-based binary
-    # search), NOT jnp.bincount: at this path's sizes (W*N entries into
-    # 2^(c-1)+1 bins, e.g. 4.2M -> 32769 at 2^18/c=16) the bincount
-    # scatter-add program crashes the relay's tpu_compile_helper the
-    # same way the unrolled scatter_coefs did (compile-time HBM OOM,
-    # queue_r5c.log) — the standard path's per-window bincounts are 8x
-    # smaller and unaffected
-    bounds = jnp.searchsorted(sorted_idx[0],
-                              jnp.arange(n_buckets + 1, dtype=flat_idx.dtype))
-    counts = (bounds[1:] - bounds[:-1])[None, :]
+    # search), NOT jnp.bincount: the scatter-add form at 32769 bins is a
+    # compile-OOM risk on the relay helper
+    bnd = jax.vmap(lambda r: jnp.searchsorted(
+        r, jnp.arange(n_buckets + 1, dtype=idx.dtype)))(sorted_idx)
+    counts = bnd[:, 1:] - bnd[:, :-1]                    # [W, n_buckets]
 
     acc = _bucket_accumulate_all(ops, group, packed, x_like, y_like,
-                                 orders, counts, c, [1])
+                                 orders, counts, c, [1] * w)
+    # fold the window axis (shared bucket space: bucket b total =
+    # sum_w acc[w, b]); zero-pad = xyzz infinity, as in the standard
+    # window combine
+    acc = _tree_map(lambda t: t.swapaxes(-1, -2), acc)   # [.., nb, W]
+    m = 1 << max(1, (w - 1).bit_length())
+    acc = _tree_map(
+        lambda t: jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, m - w)]), acc)
+    while m > 1:
+        acc = _fold_pairs(add_where, acc)
+        m //= 2
+    acc = _tree_map(lambda t: t.swapaxes(-1, -2), acc)   # [.., 1, nb]
     totals = _weighted_totals(red_ops, add_where, acc, n_buckets)
     out = _tree_map(lambda t: t[..., 0], totals)
     if _lazy_kernels():
